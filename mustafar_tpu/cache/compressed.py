@@ -1,0 +1,211 @@
+"""Compressed sparse KV cache: packed pools + dense residual window.
+
+TPU redesign of the reference's compressed-cache engine
+(models/llama_mustafar_kernel.py — SURVEY.md §2.5).  The reference keeps, per
+layer, a python list of per-head packed tensors that are re-concatenated and
+re-offset every 256 generated tokens (:324-398, with host syncs).  Here the
+state is a fixed set of static-shape arrays threaded through the jitted step:
+
+  k_vals [B*Hkv, max_chunks * C * keep_k]   bf16   packed top-k values
+  k_bmp  [B*Hkv, max_chunks * (C/32) * D]   uint32 token-packed bitmap planes
+  v_vals / v_bmp                                  (same, value stream)
+  k_win / v_win [B, Wcap, Hkv, D]           bf16   dense window, Wcap = r + C
+  n_chunks       int32                             active chunks (uniform)
+
+Semantics (matching llama_mustafar_kernel.py):
+  * prefill: flash attention over dense K/V; then the first
+    ``((T - r) // C) * C`` tokens are pruned+packed chunk-by-chunk (:405-443),
+    the remainder becomes the dense window.
+  * decode: logits = sparse-matmul over pools ++ dense matmul over window
+    (:272-279); fp32 softmax (:304); output = sparse combine + window matmul
+    (:312-317).  When the window reaches r + C valid tokens the oldest C are
+    pruned+packed and appended to the pools, and the window shifts (:324-398).
+
+Only per-token (Kt/Vt) policies are supported in compressed mode — the
+reference's kernel engine likewise implements Kt_Mag+Vt_Mag only
+(llama_mustafar_kernel.py:77-153).  Opa scoring can be layered on the same
+format because pruning happens before packing.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mustafar_tpu.config import EngineConfig
+from mustafar_tpu.ops import pruning, sparse_format as sf
+from mustafar_tpu.ops.attention import causal_mask, mha, NEG_INF
+
+
+class CompressedKVCache:
+    def __init__(self, engine: EngineConfig):
+        self.engine = engine
+        self.model = engine.model
+        p = engine.prune
+        self.p = p
+        assert p.method.k_policy in ("token_mag",), (
+            "compressed cache supports per-token K policies (reference kernel "
+            f"engine scope); got {p.method}")
+        assert p.method.v_policy in ("token_mag",), p.method
+        m = self.model
+        C = engine.chunk_size
+        self.C = C
+        self.r = p.residual_length
+        self.wcap = self.r + C
+        self.max_chunks = max(1, (engine.max_seq_len - self.r + C - 1) // C)
+        self.kfmt = sf.ChunkFormat(C, m.head_dim, p.kept_per_row(m.head_dim, p.k_sparsity))
+        self.vfmt = sf.ChunkFormat(C, m.head_dim, p.kept_per_row(m.head_dim, p.v_sparsity))
+        self.window = m.sliding_window
+        assert self.window is None, "sliding window + compressed cache: todo"
+        # pallas decode kernel toggle (interpret/XLA path on CPU)
+        self.use_pallas = jax.default_backend() == "tpu"
+
+    # -- state ------------------------------------------------------------
+    def init(self, batch: int, dtype=jnp.bfloat16) -> dict:
+        m = self.model
+        BH = batch * m.num_kv_heads
+        mc = self.max_chunks
+        return {
+            "k_vals": jnp.zeros((m.num_layers, BH, mc * self.kfmt.vals_len), dtype),
+            "k_bmp": jnp.zeros((m.num_layers, BH, mc * self.kfmt.bitmap_words), jnp.uint32),
+            "v_vals": jnp.zeros((m.num_layers, BH, mc * self.vfmt.vals_len), dtype),
+            "v_bmp": jnp.zeros((m.num_layers, BH, mc * self.vfmt.bitmap_words), jnp.uint32),
+            "k_win": jnp.zeros((m.num_layers, batch, self.wcap, m.num_kv_heads, m.head_dim), dtype),
+            "v_win": jnp.zeros((m.num_layers, batch, self.wcap, m.num_kv_heads, m.head_dim), dtype),
+            "n_chunks": jnp.zeros((m.num_layers,), jnp.int32),
+        }
+
+    # -- helpers ----------------------------------------------------------
+    def _pack_chunk(self, dense_bthd: jnp.ndarray, fmt: sf.ChunkFormat, sparsity: float):
+        """dense [B, C, Hkv, D] -> (vals [B*Hkv, vals_len], bmp [B*Hkv, bitmap_words])."""
+        B, C, H, D = dense_bthd.shape
+        x = jnp.transpose(dense_bthd, (0, 2, 1, 3)).reshape(B * H, C, D)
+        vals, bmp = sf.prune_and_encode_chunk(x, fmt)
+        return vals, bmp.reshape(B * H, fmt.bitmap_words)
+
+    def _append_chunk(self, lc, chunk_idx, k_chunk, v_chunk):
+        """Prune+pack one dense chunk ([B, C, Hkv, D]) into pool slot chunk_idx."""
+        kv, kb = self._pack_chunk(k_chunk, self.kfmt, self.p.k_sparsity)
+        vv, vb = self._pack_chunk(v_chunk, self.vfmt, self.p.v_sparsity)
+        lc["k_vals"] = jax.lax.dynamic_update_slice(
+            lc["k_vals"], kv.astype(lc["k_vals"].dtype), (0, chunk_idx * self.kfmt.vals_len))
+        lc["k_bmp"] = jax.lax.dynamic_update_slice(
+            lc["k_bmp"], kb, (0, chunk_idx * self.kfmt.bitmap_words))
+        lc["v_vals"] = jax.lax.dynamic_update_slice(
+            lc["v_vals"], vv.astype(lc["v_vals"].dtype), (0, chunk_idx * self.vfmt.vals_len))
+        lc["v_bmp"] = jax.lax.dynamic_update_slice(
+            lc["v_bmp"], vb, (0, chunk_idx * self.vfmt.bitmap_words))
+        return lc
+
+    def _decode_pool(self, vals, bmp, fmt, batch):
+        """Decompress the whole pool to dense [B, Hkv, max_chunks*C, D] (XLA path)."""
+        BH = vals.shape[0]
+        v = vals.reshape(BH, self.max_chunks, fmt.vals_len)
+        b = bmp.reshape(BH, self.max_chunks, fmt.chunk // 32, fmt.dim)
+        dense = sf.decode_chunk(v, b, fmt)                     # [BH, mc, C, D]
+        H = self.model.num_kv_heads
+        return dense.reshape(batch, H, self.max_chunks * fmt.chunk, fmt.dim)
+
+    # -- prefill ----------------------------------------------------------
+    def prefill_attend(self, lc, q, k, v, true_len):
+        B, T, Hq, D = q.shape
+        pos = jnp.arange(T)
+        mask = causal_mask(pos, pos, true_len, None)
+        out = mha(q, k, v, mask)
+
+        C, r = self.C, self.r
+        comp_len = jnp.maximum(true_len - r, 0) // C * C       # reference :416
+        n_pre = comp_len // C
+        max_pre = max(T // C, 1)
+
+        def body(i, lc):
+            start = i * C
+            k_chunk = jax.lax.dynamic_slice_in_dim(k, start, C, axis=1)
+            v_chunk = jax.lax.dynamic_slice_in_dim(v, start, C, axis=1)
+            return jax.lax.cond(i < n_pre,
+                                lambda lc: self._append_chunk(lc, i, k_chunk, v_chunk),
+                                lambda lc: lc, lc)
+
+        lc = dict(lc)
+        if T >= C:  # a prompt shorter than one chunk can never compress (static)
+            lc = jax.lax.fori_loop(0, max_pre, body, lc)
+        lc["n_chunks"] = n_pre.astype(jnp.int32)
+
+        # window <- tokens [comp_len, true_len); length in [r, r+C)
+        # gather rows comp_len + [0, wcap) (clamped; masked by win_len)
+        idx = comp_len + jnp.arange(self.wcap)
+        win_rows_k = jnp.take_along_axis(
+            k, jnp.minimum(idx, T - 1)[None, :, None, None].repeat(B, 0), axis=1)
+        win_rows_v = jnp.take_along_axis(
+            v, jnp.minimum(idx, T - 1)[None, :, None, None].repeat(B, 0), axis=1)
+        valid = (idx < true_len)[None, :, None, None]
+        lc["k_win"] = jnp.where(valid, win_rows_k, 0).astype(lc["k_win"].dtype)
+        lc["v_win"] = jnp.where(valid, win_rows_v, 0).astype(lc["v_win"].dtype)
+        return out, lc
+
+    # -- decode -----------------------------------------------------------
+    def decode_attend(self, lc, q, k, v, pos):
+        """q [B,1,Hq,D]; appends k/v (1 token) and attends pools + window."""
+        lc = dict(lc)
+        B, _, Hq, D = q.shape
+        Hkv = self.model.num_kv_heads
+        C, r = self.C, self.r
+        n_chunks = lc["n_chunks"]
+        comp_len = n_chunks * C
+        win_len = pos + 1 - comp_len                            # incl. new token
+
+        # append new token to window at win_len-1
+        lc["k_win"] = jax.lax.dynamic_update_slice_in_dim(lc["k_win"], k, win_len - 1, axis=1)
+        lc["v_win"] = jax.lax.dynamic_update_slice_in_dim(lc["v_win"], v, win_len - 1, axis=1)
+
+        if self.use_pallas:
+            from mustafar_tpu.ops.kernels import sparse_attention as ska
+            out = ska.sparse_decode_attention(
+                q, lc["k_vals"], lc["k_bmp"], lc["v_vals"], lc["v_bmp"],
+                lc["k_win"], lc["v_win"], n_chunks, win_len,
+                self.kfmt, self.vfmt, self.max_chunks)
+        else:
+            out = self._decode_attend_xla(lc, q, n_chunks, win_len, B, Hkv, D)
+
+        # compaction: when the window holds r + C valid tokens, pack the oldest C
+        def compact(lc):
+            k_chunk = lc["k_win"][:, :C]
+            v_chunk = lc["v_win"][:, :C]
+            lc = self._append_chunk(lc, n_chunks, k_chunk, v_chunk)
+            lc["k_win"] = jnp.concatenate(
+                [lc["k_win"][:, C:], jnp.zeros_like(lc["k_win"][:, :C])], axis=1)
+            lc["v_win"] = jnp.concatenate(
+                [lc["v_win"][:, C:], jnp.zeros_like(lc["v_win"][:, :C])], axis=1)
+            lc["n_chunks"] = n_chunks + 1
+            return lc
+
+        lc = jax.lax.cond(win_len >= r + C, compact, lambda lc: lc, lc)
+        return out, lc
+
+    def _decode_attend_xla(self, lc, q, n_chunks, win_len, B, Hkv, D):
+        """Reference XLA path: decompress pools, two-part masked attention."""
+        S = self.max_chunks * self.C
+        k_dense = self._decode_pool(lc["k_vals"], lc["k_bmp"], self.kfmt, B)  # [B,H,S,D]
+        v_dense = self._decode_pool(lc["v_vals"], lc["v_bmp"], self.vfmt, B)
+        G = q.shape[2] // Hkv
+        qg = q[:, 0].reshape(B, Hkv, G, D)
+        scale = 1.0 / jnp.sqrt(jnp.float32(D))
+
+        s_comp = jnp.einsum("bhgd,bhsd->bhgs", qg, k_dense,
+                            preferred_element_type=jnp.float32) * scale
+        s_comp = jnp.where((jnp.arange(S) < n_chunks * self.C)[None, None, None, :],
+                           s_comp, NEG_INF)
+        kw = jnp.transpose(lc["k_win"], (0, 2, 1, 3))            # [B,Hkv,W,D]
+        s_win = jnp.einsum("bhgd,bhwd->bhgw", qg, kw,
+                           preferred_element_type=jnp.float32) * scale
+        s_win = jnp.where((jnp.arange(self.wcap) < win_len)[None, None, None, :],
+                          s_win, NEG_INF)
+        logits = jnp.concatenate([s_comp, s_win], axis=-1)
+        w = jax.nn.softmax(logits, axis=-1)
+        w_comp, w_win = w[..., :S], w[..., S:]
+        vw = jnp.transpose(lc["v_win"], (0, 2, 1, 3))
+        out = (jnp.einsum("bhgs,bhsd->bhgd", w_comp.astype(v_dense.dtype), v_dense,
+                          preferred_element_type=jnp.float32)
+               + jnp.einsum("bhgw,bhwd->bhgd", w_win.astype(vw.dtype), vw,
+                            preferred_element_type=jnp.float32))
+        return out.reshape(B, 1, q.shape[2], D).astype(q.dtype)

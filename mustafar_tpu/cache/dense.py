@@ -1,0 +1,358 @@
+"""Dense and masked (prune-in-place) KV caches.
+
+The masked cache is the TPU equivalent of the reference's accuracy path
+(models/llama_mustafar_Kt_Mag_Vt_Mag.py and siblings): the cache stays a full
+dense array, pruning *zeroes* entries in place.  Where the reference grows a
+python tuple of tensors by torch.cat per token (`:864-867`, O(T) traffic per
+step), we preallocate a static [B, S, Hkv, D] buffer and write with
+dynamic_update_slice — jit-friendly and single-buffer.
+
+Semantics replicated exactly (verified against the reference decode path
+llama_mustafar_Kt_Mag_Vt_Mag.py:860-1030):
+  * prefill: attention over dense K/V; afterwards all but the most recent
+    ``residual_length`` tokens are pruned in the stored cache (:1039-1045 keys,
+    :1081-1087 values).
+  * decode: attention over the *un-pruned* cache including the appended token;
+    afterwards the single token sliding out of the residual window (index
+    ``pos - residual_length``) is pruned (:910-928 keys, :1008-1026 values) —
+    pruning affects future steps only.
+  * channel (Vc) variants prune a full ``group_size`` group when the group
+    boundary exits the window (llama_mustafar_Kt_Mag_Vc_Mag.py:1035-1052).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mustafar_tpu.config import EngineConfig, PruneMethod
+from mustafar_tpu.ops import pruning
+from mustafar_tpu.ops.attention import causal_mask, mha
+
+
+class DenseKVCache:
+    """Baseline dense KV cache; also the base class for the masked cache."""
+
+    def __init__(self, engine: EngineConfig):
+        self.engine = engine
+        self.model = engine.model
+        self.window = self.model.sliding_window
+
+    # -- state ------------------------------------------------------------
+    def init(self, batch: int, dtype=jnp.bfloat16) -> dict:
+        m, S = self.model, self.engine.max_seq_len
+        shape = (m.num_layers, batch, S, m.num_kv_heads, m.head_dim)
+        state = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+        extra = self.extra_state(batch, dtype)
+        if extra:
+            state.update(extra)
+        return state
+
+    def extra_state(self, batch: int, dtype) -> dict:
+        return {}
+
+    # -- prefill ----------------------------------------------------------
+    def prefill_attend(self, lc: dict, q, k, v, true_len):
+        """q [B,T,Hq,D], k/v [B,T,Hkv,D] (roped); true_len: scalar int32 (uniform).
+
+        Returns (out [B,T,Hq,D], updated layer cache).
+        """
+        T = q.shape[1]
+        pos = jnp.arange(T)
+        mask = causal_mask(pos, pos, true_len, self.window)
+        out = mha(q, k, v, mask)
+        k_store, v_store = self.prefill_prune(q, k, v, out, true_len)
+        lc = dict(lc)
+        lc["k"] = jax.lax.dynamic_update_slice_in_dim(lc["k"], k_store, 0, axis=1)
+        lc["v"] = jax.lax.dynamic_update_slice_in_dim(lc["v"], v_store, 0, axis=1)
+        return out, lc
+
+    def prefill_prune(self, q, k, v, out, true_len):
+        return k, v
+
+    # -- decode -----------------------------------------------------------
+    def decode_attend(self, lc: dict, q, k, v, pos):
+        """q [B,1,Hq,D], k/v [B,1,Hkv,D]; pos: scalar int32 index of the new token."""
+        lc = dict(lc)
+        lc["k"] = jax.lax.dynamic_update_slice_in_dim(lc["k"], k, pos, axis=1)
+        lc["v"] = jax.lax.dynamic_update_slice_in_dim(lc["v"], v, pos, axis=1)
+        S = lc["k"].shape[1]
+        kpos = jnp.arange(S)
+        mask = causal_mask(pos[None] if pos.ndim == 0 else pos, kpos, pos + 1, self.window)
+        out, w = mha(q, lc["k"], lc["v"], mask, return_weights=True)
+        lc = self.decode_prune(lc, q, w, pos)
+        return out, lc
+
+    def decode_prune(self, lc, q, attn_w, pos):
+        return lc
+
+
+def _prune_row_at(buf: jnp.ndarray, idx: jnp.ndarray, prune_fn) -> jnp.ndarray:
+    """Apply prune_fn to the single row buf[:, idx] when idx >= 0.
+
+    buf: [B, S, H, D]. idx < 0 is a no-op (achieved by writing the row back
+    unchanged at a clamped index).
+    """
+    cidx = jnp.maximum(idx, 0)
+    row = jax.lax.dynamic_slice_in_dim(buf, cidx, 1, axis=1)   # [B,1,H,D]
+    pruned = prune_fn(row)
+    new_row = jnp.where(idx >= 0, pruned, row)
+    return jax.lax.dynamic_update_slice_in_dim(buf, new_row.astype(buf.dtype), cidx, axis=1)
+
+
+def _prune_block_at(buf: jnp.ndarray, start: jnp.ndarray, size: int, do: jnp.ndarray,
+                    prune_fn) -> jnp.ndarray:
+    """Apply prune_fn to buf[:, start:start+size] when ``do`` (bool scalar)."""
+    cstart = jnp.clip(start, 0, buf.shape[1] - size)
+    blk = jax.lax.dynamic_slice_in_dim(buf, cstart, size, axis=1)
+    pruned = prune_fn(blk)
+    new_blk = jnp.where(jnp.logical_and(do, start >= 0), pruned.astype(buf.dtype), blk)
+    return jax.lax.dynamic_update_slice_in_dim(buf, new_blk, cstart, axis=1)
+
+
+class MaskedKVCache(DenseKVCache):
+    """Dense-storage cache with reference pruning semantics applied in place."""
+
+    def __init__(self, engine: EngineConfig):
+        super().__init__(engine)
+        p = engine.prune
+        self.p = p
+        self.method = p.method
+
+    # -- pruning policies (token axis is axis=1 of [B,T,H,D]; the prune ops
+    #    act on [..., T, D] so we swap to [B,H,T,D] views where needed) ------
+    def _prune_k_rows(self, rows):  # rows [B,t,H,D] — per-token policies
+        if self.method.k_policy == "token_mag":
+            return pruning.prune_token_mag(rows, self.p.k_sparsity)
+        return rows
+
+    def _prune_v_rows(self, rows):
+        if self.method.v_policy == "token_mag":
+            return pruning.prune_token_mag(rows, self.p.v_sparsity)
+        return rows
+
+    # -- prefill ----------------------------------------------------------
+    def prefill_prune(self, q, k, v, out, true_len):
+        """Prune all tokens except the most recent ``residual_length``.
+
+        Reference: prefill prunes key_states[:, :, :-residual_length, :] in one
+        shot (llama_mustafar_Kt_Mag_Vt_Mag.py:1039-1045; values :1081-1087).
+        With a dynamic true_len we prune everything and select per-row.
+        """
+        r = self.p.residual_length
+        T = k.shape[1]
+        row = jnp.arange(T)[None, :, None, None]
+        in_prefix = row < (true_len - r)
+
+        method = self.method
+        if method == PruneMethod.THINK:
+            k_pruned = jnp.swapaxes(
+                pruning.think_prune_key(jnp.swapaxes(k, 1, 2), jnp.swapaxes(q, 1, 2),
+                                        self.p.k_sparsity), 1, 2)
+            # ThinK prunes ALL tokens at prefill (no residual window), V dense
+            # (reference llama_think.py:1029,1064).
+            return k_pruned.astype(k.dtype), v
+        if method == PruneMethod.THINV:
+            k_pruned = jnp.swapaxes(
+                pruning.think_prune_key(jnp.swapaxes(k, 1, 2), jnp.swapaxes(q, 1, 2),
+                                        self.p.k_sparsity), 1, 2)
+            v_pruned = jnp.swapaxes(
+                pruning.thinv_prune_value(jnp.swapaxes(v, 1, 2), self.p.v_sparsity), 1, 2)
+            return k_pruned.astype(k.dtype), v_pruned.astype(v.dtype)
+
+        # ---- K ----
+        if method.k_policy == "token_mag":
+            k_pruned = pruning.prune_token_mag(k, self.p.k_sparsity)
+        elif method.k_policy == "token_opa":
+            # score = |mean_q(|q|) * k| with query heads folded to kv groups
+            # (reference llama_mustafar_Kt_Opa_Vt_Mag.py:66-119).
+            k_pruned = self._prefill_prune_k_opa(q, k, true_len)
+        else:
+            k_pruned = k
+        k_store = jnp.where(in_prefix, k_pruned, k).astype(k.dtype)
+
+        # ---- V ----
+        if method.v_policy == "token_mag":
+            v_pruned = pruning.prune_token_mag(v, self.p.v_sparsity)
+            v_store = jnp.where(in_prefix, v_pruned, v).astype(v.dtype)
+        elif method.v_policy == "channel_mag":
+            v_store = self._prefill_prune_v_channel(v, true_len, score=None)
+        elif method.v_policy == "token_opa":
+            v_pruned = self._prefill_v_opa_pruned(q, k, v, true_len)
+            v_store = jnp.where(in_prefix, v_pruned, v).astype(v.dtype)
+        elif method.v_policy == "channel_opa":
+            score = self._prefill_v_opa_score(q, k, v, true_len)
+            v_store = self._prefill_prune_v_channel(v, true_len, score=score)
+        else:
+            v_store = v
+        return k_store, v_store
+
+    def _prefill_prune_k_opa(self, q, k, true_len):
+        B, T, Hq, D = q.shape
+        Hkv = k.shape[2]
+        # mean |q| over valid tokens and the query heads of each kv group.
+        valid = (jnp.arange(T) < true_len)[None, :, None, None]
+        qa = jnp.where(valid, jnp.abs(q.astype(jnp.float32)), 0.0)
+        denom = jnp.maximum(true_len, 1).astype(jnp.float32)
+        q_mean = qa.reshape(B, T, Hkv, Hq // Hkv, D).sum(axis=(1, 3)) / denom  # [B,Hkv,D]
+        score = jnp.abs(q_mean[:, None, :, :] * k.astype(jnp.float32))         # [B,T,Hkv,D]
+        return pruning.prune_by_score_lastdim(k, score, self.p.k_sparsity)
+
+    def _prefill_v_opa_score(self, q, k, v, true_len):
+        """Score V tokens by the softmaxed attention of the last group_size
+        queries (reference llama_mustafar_Kt_Mag_Vt_Opa.py:168-206)."""
+        from mustafar_tpu.ops.attention import mha as _mha  # local to avoid cycle
+        B, T, Hq, D = q.shape
+        Hkv = v.shape[2]
+        gs = self.p.group_size
+        pos = jnp.arange(T)
+        start = jnp.maximum(true_len - gs, 0)
+        q_last = jax.lax.dynamic_slice_in_dim(q, start, gs, axis=1)
+        qpos = start + jnp.arange(gs)
+        mask = causal_mask(qpos, pos, true_len, self.window)
+        _, w = _mha(q_last, k, v, mask, return_weights=True)   # [B,gs,Hq,T] fp32
+        w_kv = w.reshape(B, gs, Hkv, Hq // Hkv, T).sum(axis=(1, 3))  # [B,Hkv,T]
+        score = jnp.abs(w_kv[..., None] * jnp.swapaxes(v, 1, 2).astype(jnp.float32))
+        return jnp.swapaxes(score, 1, 2)   # [B,T,Hkv,D]
+
+    def _prefill_v_opa_pruned(self, q, k, v, true_len):
+        score = self._prefill_v_opa_score(q, k, v, true_len)
+        return pruning.prune_by_score_lastdim(v, score, self.p.v_sparsity)
+
+    def _prefill_prune_v_channel(self, v, true_len, score=None):
+        """Channel (Vc) prefill prune: groups of group_size tokens, pruned along
+        the token axis per channel; only complete groups fully inside the
+        prefix are pruned (reference llama_mustafar_Kt_Mag_Vc_Mag.py:108-173)."""
+        gs = self.p.group_size
+        r = self.p.residual_length
+        B, T, H, D = v.shape
+        Tpad = (T + gs - 1) // gs * gs
+        vp = jnp.pad(v, ((0, 0), (0, Tpad - T), (0, 0), (0, 0)))
+        vt = jnp.swapaxes(vp, 1, 2)  # [B,H,T,D]
+        if score is None:
+            pruned = pruning.prune_channel_mag(vt, self.p.v_sparsity, gs)
+        else:
+            sp = jnp.pad(score, ((0, 0), (0, Tpad - T), (0, 0), (0, 0)))
+            pruned = pruning.prune_channel_by_score(vt, jnp.swapaxes(sp, 1, 2),
+                                                    self.p.v_sparsity, gs)
+        pruned = jnp.swapaxes(pruned, 1, 2)[:, :T]
+        # group g is pruned iff its last token index < true_len - r
+        grp_end = (jnp.arange(T) // gs) * gs + (gs - 1)
+        in_prefix = (grp_end < (true_len - r))[None, :, None, None]
+        return jnp.where(in_prefix, pruned, v).astype(v.dtype)
+
+    # -- decode -----------------------------------------------------------
+    def decode_prune(self, lc, q, attn_w, pos):
+        """Prune the token exiting the residual window (index pos - r)."""
+        r = self.p.residual_length
+        exit_idx = pos - r
+        m = self.method
+
+        if m in (PruneMethod.THINK, PruneMethod.THINV):
+            return lc  # prefill-only baselines (decode prunes commented out in reference)
+
+        # ---- K ----
+        if m.k_policy == "token_mag":
+            lc["k"] = _prune_row_at(lc["k"], exit_idx,
+                                    lambda x: pruning.prune_token_mag(x, self.p.k_sparsity))
+        elif m.k_policy == "token_opa":
+            lc = self._decode_prune_k_opa(lc, q, exit_idx)
+
+        # ---- V ----
+        if m.v_policy == "token_mag":
+            lc["v"] = _prune_row_at(lc["v"], exit_idx,
+                                    lambda x: pruning.prune_token_mag(x, self.p.v_sparsity))
+        elif m.v_policy == "channel_mag":
+            gs = self.p.group_size
+            # when a full group has exited the window, prune it along tokens
+            # (reference llama_mustafar_Kt_Mag_Vc_Mag.py:1035-1052).
+            boundary = jnp.logical_and(exit_idx >= gs - 1, (exit_idx - (gs - 1)) % gs == 0)
+            start = exit_idx - (gs - 1)
+            lc["v"] = _prune_block_at(
+                lc["v"], start, gs, boundary,
+                lambda blk: jnp.swapaxes(
+                    pruning.prune_channel_mag(jnp.swapaxes(blk, 1, 2), self.p.v_sparsity, gs),
+                    1, 2))
+        elif m.v_policy == "token_opa":
+            lc = self._decode_prune_v_opa(lc, attn_w, exit_idx)
+        elif m.v_policy == "channel_opa":
+            lc = self._decode_prune_v_channel_opa(lc, attn_w, exit_idx)
+        return lc
+
+    # ---- Opa decode state machines --------------------------------------
+    # The reference accumulates per-step scores for the tokens inside the
+    # residual window and prunes each token with its accumulated score at the
+    # moment it exits (key_score_accumulator [B,G,gs,D]
+    # llama_mustafar_Kt_Opa_Vt_Mag.py:121-178,709-710; value accumulator
+    # llama_mustafar_Kt_Mag_Vt_Opa.py:115-260).  We carry the accumulators in
+    # the cache state and index them by absolute position modulo window.
+
+    def extra_state(self, batch: int, dtype) -> dict:
+        m = self.model
+        st = {}
+        if self.method.k_policy == "token_opa":
+            st["k_score"] = jnp.zeros(
+                (m.num_layers, batch, self.engine.max_seq_len, m.num_kv_heads, m.head_dim),
+                jnp.float32)
+        if self.method.v_policy in ("token_opa", "channel_opa"):
+            st["v_score"] = jnp.zeros(
+                (m.num_layers, batch, self.engine.max_seq_len, m.num_kv_heads, m.head_dim),
+                jnp.float32)
+        return st
+
+    def _fold_q_abs(self, q):
+        B, T, Hq, D = q.shape
+        Hkv = self.model.num_kv_heads
+        return jnp.abs(q.astype(jnp.float32)).reshape(B, T, Hkv, Hq // Hkv, D).mean(axis=3)
+
+    def _decode_prune_k_opa(self, lc, q, exit_idx):
+        # accumulate |q| * |k| score for every cached token each step; prune the
+        # exiting token by its accumulated score.
+        qa = self._fold_q_abs(q)[:, 0]                      # [B,Hkv,D]
+        S = lc["k"].shape[1]
+        step_score = jnp.abs(qa[:, None] * lc["k"].astype(jnp.float32))  # [B,S,Hkv,D]
+        lc["k_score"] = lc["k_score"] + step_score
+        cidx = jnp.maximum(exit_idx, 0)
+        row = jax.lax.dynamic_slice_in_dim(lc["k"], cidx, 1, axis=1)
+        srow = jax.lax.dynamic_slice_in_dim(lc["k_score"], cidx, 1, axis=1)
+        pruned = pruning.prune_by_score_lastdim(row, srow, self.p.k_sparsity)
+        new_row = jnp.where(exit_idx >= 0, pruned, row).astype(row.dtype)
+        lc["k"] = jax.lax.dynamic_update_slice_in_dim(lc["k"], new_row, cidx, axis=1)
+        return lc
+
+    def _decode_prune_v_opa(self, lc, attn_w, exit_idx):
+        # attn_w: [B,1,Hq,S] fp32; fold to kv heads, score = |w * v|.
+        B, _, Hq, S = attn_w.shape
+        Hkv = self.model.num_kv_heads
+        w_kv = attn_w.reshape(B, Hkv, Hq // Hkv, S).sum(axis=2)          # [B,Hkv,S]
+        step = jnp.abs(jnp.swapaxes(w_kv, 1, 2)[..., None] * lc["v"].astype(jnp.float32))
+        lc["v_score"] = lc["v_score"] + step
+        cidx = jnp.maximum(exit_idx, 0)
+        row = jax.lax.dynamic_slice_in_dim(lc["v"], cidx, 1, axis=1)
+        srow = jax.lax.dynamic_slice_in_dim(lc["v_score"], cidx, 1, axis=1)
+        pruned = pruning.prune_by_score_lastdim(row, srow, self.p.v_sparsity)
+        new_row = jnp.where(exit_idx >= 0, pruned, row).astype(row.dtype)
+        lc["v"] = jax.lax.dynamic_update_slice_in_dim(lc["v"], new_row, cidx, axis=1)
+        return lc
+
+    def _decode_prune_v_channel_opa(self, lc, attn_w, exit_idx):
+        B, _, Hq, S = attn_w.shape
+        Hkv = self.model.num_kv_heads
+        w_kv = attn_w.reshape(B, Hkv, Hq // Hkv, S).sum(axis=2)
+        step = jnp.abs(jnp.swapaxes(w_kv, 1, 2)[..., None] * lc["v"].astype(jnp.float32))
+        lc["v_score"] = lc["v_score"] + step
+        gs = self.p.group_size
+        boundary = jnp.logical_and(exit_idx >= gs - 1, (exit_idx - (gs - 1)) % gs == 0)
+        start = jnp.clip(exit_idx - (gs - 1), 0, S - gs)
+        blk = jax.lax.dynamic_slice_in_dim(lc["v"], start, gs, axis=1)
+        sblk = jax.lax.dynamic_slice_in_dim(lc["v_score"], start, gs, axis=1)
+        pruned = jnp.swapaxes(
+            pruning.prune_channel_by_score(jnp.swapaxes(blk, 1, 2),
+                                           jnp.swapaxes(sblk, 1, 2),
+                                           self.p.v_sparsity, gs), 1, 2)
+        new_blk = jnp.where(jnp.logical_and(boundary, exit_idx >= gs - 1),
+                            pruned, blk).astype(blk.dtype)
+        lc["v"] = jax.lax.dynamic_update_slice_in_dim(lc["v"], new_blk, start, axis=1)
+        return lc

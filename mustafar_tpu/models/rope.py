@@ -1,0 +1,71 @@
+"""Rotary position embeddings (Llama-2/3, Mistral).
+
+Matches HF transformers semantics (reference applies HF's rotary in
+models/llama_mustafar_Kt_Mag_Vt_Mag.py via `apply_rotary_pos_emb` /
+`rotate_half`): head_dim is split into two halves, cos/sin are built from
+``inv_freq = theta ** (-2i/d)`` and duplicated across the halves.
+
+Supports the Llama-3.1 "llama3" rope-scaling recipe (factor / low_freq_factor /
+high_freq_factor / original_max_position_embeddings).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax.numpy as jnp
+
+
+def _inv_freq(head_dim: int, theta: float, rope_scaling: dict | None) -> jnp.ndarray:
+    exponents = jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim
+    inv_freq = 1.0 / (theta ** exponents)
+    if rope_scaling:
+        kind = rope_scaling.get("rope_type", rope_scaling.get("type", "llama3"))
+        if kind == "llama3":
+            factor = rope_scaling["factor"]
+            low = rope_scaling.get("low_freq_factor", 1.0)
+            high = rope_scaling.get("high_freq_factor", 4.0)
+            orig = rope_scaling.get("original_max_position_embeddings", 8192)
+            low_wavelen = orig / low
+            high_wavelen = orig / high
+            wavelen = 2 * math.pi / inv_freq
+            scaled = inv_freq / factor
+            smooth = (orig / wavelen - low) / (high - low)
+            smoothed = (1 - smooth) / factor * inv_freq + smooth * inv_freq
+            inv_freq = jnp.where(
+                wavelen > low_wavelen,
+                scaled,
+                jnp.where(wavelen < high_wavelen, inv_freq, smoothed),
+            )
+        elif kind == "linear":
+            inv_freq = inv_freq / rope_scaling["factor"]
+        else:
+            raise ValueError(f"unsupported rope_scaling type: {kind}")
+    return inv_freq
+
+
+def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float,
+                 rope_scaling: dict | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables for integer positions. Returns shape positions.shape + (head_dim,)."""
+    inv_freq = _inv_freq(head_dim, theta, rope_scaling)
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # (..., d/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)               # (..., d)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """Apply rotary embedding.
+
+    x: [..., T, num_heads, head_dim]; cos/sin: [..., T, head_dim] (broadcast over heads).
+    Computation in float32, cast back to x.dtype.
+    """
+    xf = x.astype(jnp.float32)
+    c = cos[..., :, None, :]
+    s = sin[..., :, None, :]
+    return (xf * c + _rotate_half(xf) * s).astype(x.dtype)

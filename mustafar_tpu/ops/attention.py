@@ -1,0 +1,62 @@
+"""Reference (XLA-fused) attention math: causal prefill and single-token decode.
+
+This is the non-Pallas compute path used by the dense and masked cache modes
+(the accuracy path — reference models/llama_mustafar_Kt_Mag_Vt_Mag.py does
+eager decode attention at :873-974 because pruning needs the weights).
+Softmax is accumulated in float32 like the reference (:963).
+
+Layouts: q [B, T, Hq, D]; k/v caches [B, S, Hkv, D]; GQA handled by reshaping
+query heads into kv groups (no materialized repeat_kv — the reference's
+``repeat_kv`` expand at :873,974 is unnecessary under einsum).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _fold_gqa(q: jnp.ndarray, num_kv_heads: int) -> jnp.ndarray:
+    B, T, Hq, D = q.shape
+    return q.reshape(B, T, num_kv_heads, Hq // num_kv_heads, D)
+
+
+def causal_mask(q_pos: jnp.ndarray, k_pos: jnp.ndarray, valid_len: jnp.ndarray,
+                window: Optional[int] = None) -> jnp.ndarray:
+    """[Tq, Tk] boolean mask: k attends iff k_pos <= q_pos, k_pos < valid_len,
+    and (if sliding window) k_pos > q_pos - window."""
+    m = (k_pos[None, :] <= q_pos[:, None]) & (k_pos[None, :] < valid_len)
+    if window is not None:
+        m &= k_pos[None, :] > (q_pos[:, None] - window)
+    return m
+
+
+def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, mask: jnp.ndarray,
+        return_weights: bool = False):
+    """Masked multi-head attention with GQA folding.
+
+    q: [B, Tq, Hq, D]; k/v: [B, S, Hkv, D]; mask: [Tq, S] or [B, Tq, S] bool.
+    Returns out [B, Tq, Hq, D] (and optionally fp32 weights [B, Tq, Hq, S]).
+    """
+    B, Tq, Hq, D = q.shape
+    Hkv = k.shape[2]
+    qg = _fold_gqa(q, Hkv)                                   # [B,Tq,Hkv,G,D]
+    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+    logits = jnp.einsum("bthgd,bshd->bthgs", qg, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask.ndim == 2:
+        m = mask[None, :, None, None, :]
+    else:
+        m = mask[:, :, None, None, :]
+    logits = jnp.where(m, logits, NEG_INF)
+    w = jax.nn.softmax(logits, axis=-1)                      # fp32
+    out = jnp.einsum("bthgs,bshd->bthgd", w.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    out = out.reshape(B, Tq, Hq, D).astype(q.dtype)
+    if return_weights:
+        return out, w.reshape(B, Tq, Hq, w.shape[-1])
+    return out

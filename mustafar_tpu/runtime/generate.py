@@ -1,0 +1,97 @@
+"""Greedy generation loop: jitted prefill + on-device while_loop decode.
+
+Replaces the reference's HF ``model.generate()`` control path
+(pred_long_bench.py:75-82: greedy, num_beams=1, do_sample=False) with a fully
+on-device loop — one jit per (padded prompt bucket, max_new_tokens) instead of
+per-token python dispatch.  EOS handling matches HF greedy: a sequence that
+has emitted EOS keeps emitting EOS, and the loop exits early once every
+sequence is done.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mustafar_tpu.cache import make_cache
+from mustafar_tpu.config import EngineConfig
+from mustafar_tpu.models import llama
+
+
+def _generate_impl(cfg, cache_impl, max_new: int, eos_id: Optional[int], dtype,
+                   params, tokens, true_len):
+    B = tokens.shape[0]
+    cache = cache_impl.init(B, dtype)
+    logits, cache = llama.prefill(cfg, params, tokens, cache, cache_impl, true_len)
+    last = jax.lax.dynamic_index_in_dim(logits, true_len - 1, axis=1, keepdims=False)
+    next_tok = jnp.argmax(last, axis=-1).astype(jnp.int32)   # [B]
+
+    out = jnp.zeros((B, max_new), jnp.int32)
+    out = out.at[:, 0].set(next_tok)
+    done = jnp.zeros((B,), bool) if eos_id is None else (next_tok == eos_id)
+
+    def cond(state):
+        i, _, _, done, _ = state
+        return jnp.logical_and(i < max_new, ~jnp.all(done))
+
+    def body(state):
+        i, tok, cache, done, out = state
+        pos = true_len + i - 1
+        logits, cache = llama.decode_step(cfg, params, tok[:, None],
+                                          cache, cache_impl, pos)
+        nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+        if eos_id is not None:
+            nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+            done = jnp.logical_or(done, nxt == eos_id)
+        out = jax.lax.dynamic_update_slice_in_dim(out, nxt[:, None], i, axis=1)
+        return (i + 1, nxt, cache, done, out)
+
+    state = (jnp.int32(1), next_tok, cache, done, out)
+    _, _, _, done, out = jax.lax.while_loop(cond, body, state)
+    return out
+
+
+class Generator:
+    """Compiled greedy-decode engine for a fixed EngineConfig."""
+
+    def __init__(self, engine: EngineConfig, params, dtype=jnp.bfloat16):
+        self.engine = engine
+        self.cfg = engine.model
+        self.params = params
+        self.dtype = dtype
+        self.cache_impl = make_cache(engine)
+        self._gen_fn = {}
+
+    def _bucket(self, n: int) -> int:
+        b = self.engine.prefill_bucket
+        return max(b, (n + b - 1) // b * b)
+
+    def generate(self, input_ids, max_new_tokens: int, eos_id: Optional[int] = None):
+        """input_ids: [B, T] int array (uniform length, left-aligned, no padding).
+
+        Returns a list of B 1-D numpy arrays of generated ids (EOS excluded).
+        """
+        input_ids = jnp.asarray(input_ids, jnp.int32)
+        B, T = input_ids.shape
+        Tpad = self._bucket(T)
+        assert Tpad + max_new_tokens <= self.engine.max_seq_len, (
+            f"prompt {T} (padded {Tpad}) + {max_new_tokens} exceeds "
+            f"max_seq_len {self.engine.max_seq_len}")
+        key = (B, Tpad, max_new_tokens, eos_id)
+        if key not in self._gen_fn:
+            self._gen_fn[key] = jax.jit(functools.partial(
+                _generate_impl, self.cfg, self.cache_impl, max_new_tokens,
+                eos_id, self.dtype))
+        toks = jnp.pad(input_ids, ((0, 0), (0, Tpad - T)))
+        out = np.asarray(self._gen_fn[key](self.params, toks, jnp.int32(T)))
+        result = []
+        for row in out:
+            if eos_id is not None:
+                stop = np.where(row == eos_id)[0]
+                row = row[: stop[0]] if len(stop) else row
+            result.append(row)
+        return result
