@@ -1,0 +1,86 @@
+"""End-to-end decode latency/memory benchmark (driver entry point).
+
+TPU-native equivalent of the reference's mem_spd_test.py (Llama-3-8B,
+batch 32, prompt 300, generate 600, K=V=0.7, fp16, sm_89): measures sparse
+(compressed cache + Pallas kernels) decode throughput against the dense-cache
+baseline on the same model/config and prints ONE JSON line.
+
+A full Llama-3-8B in bf16 (~16 GiB) does not fit a single v5e-lite chip next
+to its KV cache, so the bench uses the Llama-3-8B layer geometry at reduced
+depth (same per-layer work; layer count chosen to fit HBM).  vs_baseline is
+the sparse/dense tokens-per-second ratio at identical shapes — the quantity
+the reference's kernel is built to improve.
+"""
+
+import dataclasses
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(engine, params, dtype, prompt, gen_tokens):
+    from mustafar_tpu.runtime.generate import Generator
+
+    gen = Generator(engine, params, dtype=dtype)
+    # warmup (compile)
+    out = gen.generate(prompt, max_new_tokens=gen_tokens, eos_id=None)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = gen.generate(prompt, max_new_tokens=gen_tokens, eos_id=None)
+    dt = (time.perf_counter() - t0) / reps
+    total_tokens = sum(len(o) for o in out)
+    return total_tokens / dt, dt
+
+
+def main():
+    from mustafar_tpu.config import (CacheMode, EngineConfig, LLAMA3_8B,
+                                     PruneConfig, PruneMethod)
+    from mustafar_tpu.models.llama import init_params
+
+    on_tpu = jax.default_backend() == "tpu"
+    # Llama-3-8B geometry; depth fitted to single-chip HBM (16 GiB v5e-lite).
+    layers = 16 if on_tpu else 2
+    cfg = dataclasses.replace(LLAMA3_8B, num_layers=layers,
+                              vocab_size=32000 if on_tpu else 512)
+    B, prompt_len, gen_tokens = (32, 300, 600) if on_tpu else (2, 64, 16)
+    max_seq = 1024 if on_tpu else 256
+
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    params = jax.block_until_ready(params)
+    prompt = np.random.RandomState(0).randint(1, cfg.vocab_size, (B, prompt_len))
+
+    sparse_eng = EngineConfig(
+        model=cfg, cache_mode=CacheMode.COMPRESSED,
+        prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                          k_sparsity=0.7, v_sparsity=0.7),
+        max_seq_len=max_seq, prefill_bucket=256, chunk_size=256)
+    dense_eng = EngineConfig(model=cfg, cache_mode=CacheMode.DENSE,
+                             max_seq_len=max_seq, prefill_bucket=256)
+
+    sparse_tps, sparse_dt = build(sparse_eng, params, jnp.bfloat16, prompt, gen_tokens)
+    dense_tps, dense_dt = build(dense_eng, params, jnp.bfloat16, prompt, gen_tokens)
+
+    print(json.dumps({
+        "metric": "sparse_decode_throughput",
+        "value": round(sparse_tps, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(sparse_tps / dense_tps, 3),
+        "detail": {
+            "model": f"llama3-8b-geometry x{layers}L",
+            "batch": B, "prompt": prompt_len, "gen": gen_tokens,
+            "k_sparsity": 0.7, "v_sparsity": 0.7,
+            "dense_tok_s": round(dense_tps, 1),
+            "sparse_s_per_gen": round(sparse_dt, 3),
+            "dense_s_per_gen": round(dense_dt, 3),
+            "backend": jax.default_backend(),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

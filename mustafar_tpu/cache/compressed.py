@@ -1,30 +1,30 @@
-"""Compressed sparse KV cache: packed pools + dense residual window.
+"""Compressed sparse KV cache: packed split-pools + dense residual window.
 
 TPU redesign of the reference's compressed-cache engine
 (models/llama_mustafar_kernel.py — SURVEY.md §2.5).  The reference keeps, per
 layer, a python list of per-head packed tensors that are re-concatenated and
 re-offset every 256 generated tokens (:324-398, with host syncs).  Here the
-state is a fixed set of static-shape arrays threaded through the jitted step:
+state is a fixed set of static-shape arrays threaded through the jitted step
+(layouts derived in ops/sparse_format.py):
 
-  k_vals [B*Hkv, max_chunks * C * keep_k]   bf16   packed top-k values
-  k_bmp  [B*Hkv, max_chunks * (C/32) * D]   uint32 token-packed bitmap planes
-  v_vals / v_bmp                                  (same, value stream)
-  k_win / v_win [B, Wcap, Hkv, D]           bf16   dense window, Wcap = r + C
-  n_chunks       int32                             active chunks (uniform)
+  k_vals{s} [B*Hkv, max_chunks * R_s, 128] bf16    interleaved value segments
+  k_bmp     [B*Hkv, max_chunks * C/32, D] uint32   interleaved bitmap planes
+  v_vals{s} / v_bmp                                (value stream)
+  k_win / v_win [B, Wcap, Hkv, D]         bf16     dense window, Wcap = r + C
+  n_chunks      int32                              active chunks (uniform)
 
 Semantics (matching llama_mustafar_kernel.py):
   * prefill: flash attention over dense K/V; then the first
     ``((T - r) // C) * C`` tokens are pruned+packed chunk-by-chunk (:405-443),
     the remainder becomes the dense window.
-  * decode: logits = sparse-matmul over pools ++ dense matmul over window
+  * decode: logits = sparse kernel over pools ++ dense matmul over window
     (:272-279); fp32 softmax (:304); output = sparse combine + window matmul
     (:312-317).  When the window reaches r + C valid tokens the oldest C are
     pruned+packed and appended to the pools, and the window shifts (:324-398).
 
 Only per-token (Kt/Vt) policies are supported in compressed mode — the
 reference's kernel engine likewise implements Kt_Mag+Vt_Mag only
-(llama_mustafar_kernel.py:77-153).  Opa scoring can be layered on the same
-format because pruning happens before packing.
+(llama_mustafar_kernel.py:77-153).
 """
 
 from __future__ import annotations
@@ -33,12 +33,12 @@ import jax
 import jax.numpy as jnp
 
 from mustafar_tpu.config import EngineConfig
-from mustafar_tpu.ops import pruning, sparse_format as sf
+from mustafar_tpu.ops import sparse_format as sf
 from mustafar_tpu.ops.attention import causal_mask, mha, NEG_INF
 
 
 class CompressedKVCache:
-    def __init__(self, engine: EngineConfig):
+    def __init__(self, engine: EngineConfig, use_pallas: bool | None = None):
         self.engine = engine
         self.model = engine.model
         p = engine.prune
@@ -52,59 +52,75 @@ class CompressedKVCache:
         self.C = C
         self.r = p.residual_length
         self.wcap = self.r + C
-        self.max_chunks = max(1, (engine.max_seq_len - self.r + C - 1) // C)
+        self.max_chunks = max(1, (engine.max_seq_len - self.r) // C)
         self.kfmt = sf.ChunkFormat(C, m.head_dim, p.kept_per_row(m.head_dim, p.k_sparsity))
         self.vfmt = sf.ChunkFormat(C, m.head_dim, p.kept_per_row(m.head_dim, p.v_sparsity))
         self.window = m.sliding_window
         assert self.window is None, "sliding window + compressed cache: todo"
-        # pallas decode kernel toggle (interpret/XLA path on CPU)
-        self.use_pallas = jax.default_backend() == "tpu"
+        # pallas decode kernels on TPU; interpret/XLA path elsewhere
+        self.use_pallas = (jax.default_backend() == "tpu") if use_pallas is None else use_pallas
 
     # -- state ------------------------------------------------------------
     def init(self, batch: int, dtype=jnp.bfloat16) -> dict:
         m = self.model
         BH = batch * m.num_kv_heads
         mc = self.max_chunks
-        return {
-            "k_vals": jnp.zeros((m.num_layers, BH, mc * self.kfmt.vals_len), dtype),
-            "k_bmp": jnp.zeros((m.num_layers, BH, mc * self.kfmt.bitmap_words), jnp.uint32),
-            "v_vals": jnp.zeros((m.num_layers, BH, mc * self.vfmt.vals_len), dtype),
-            "v_bmp": jnp.zeros((m.num_layers, BH, mc * self.vfmt.bitmap_words), jnp.uint32),
+        st = {
             "k_win": jnp.zeros((m.num_layers, batch, self.wcap, m.num_kv_heads, m.head_dim), dtype),
             "v_win": jnp.zeros((m.num_layers, batch, self.wcap, m.num_kv_heads, m.head_dim), dtype),
             "n_chunks": jnp.zeros((m.num_layers,), jnp.int32),
+            "k_bmp": jnp.zeros((m.num_layers, BH, mc * self.kfmt.planes, m.head_dim), jnp.uint32),
+            "v_bmp": jnp.zeros((m.num_layers, BH, mc * self.vfmt.planes, m.head_dim), jnp.uint32),
         }
+        for si, k in enumerate(self.kfmt.segs):
+            st[f"k_vals{si}"] = jnp.zeros((m.num_layers, BH, mc * self.kfmt.seg_rows(k), 128), dtype)
+        for si, k in enumerate(self.vfmt.segs):
+            st[f"v_vals{si}"] = jnp.zeros((m.num_layers, BH, mc * self.vfmt.seg_rows(k), 128), dtype)
+        return st
 
-    # -- helpers ----------------------------------------------------------
-    def _pack_chunk(self, dense_bthd: jnp.ndarray, fmt: sf.ChunkFormat, sparsity: float):
-        """dense [B, C, Hkv, D] -> (vals [B*Hkv, vals_len], bmp [B*Hkv, bitmap_words])."""
+    def _ksegs(self, lc):
+        return [lc[f"k_vals{si}"] for si in range(len(self.kfmt.segs))]
+
+    def _vsegs(self, lc):
+        return [lc[f"v_vals{si}"] for si in range(len(self.vfmt.segs))]
+
+    # -- packing ----------------------------------------------------------
+    def _pack_chunk(self, dense_bthd: jnp.ndarray, fmt: sf.ChunkFormat):
+        """dense [B, C, Hkv, D] -> (segs list [BH, R_s, 128], bmp [BH, P, D])."""
         B, C, H, D = dense_bthd.shape
         x = jnp.transpose(dense_bthd, (0, 2, 1, 3)).reshape(B * H, C, D)
-        vals, bmp = sf.prune_and_encode_chunk(x, fmt)
-        return vals, bmp.reshape(B * H, fmt.bitmap_words)
+        return sf.prune_and_encode_chunk(x, fmt)
 
     def _append_chunk(self, lc, chunk_idx, k_chunk, v_chunk):
         """Prune+pack one dense chunk ([B, C, Hkv, D]) into pool slot chunk_idx."""
-        kv, kb = self._pack_chunk(k_chunk, self.kfmt, self.p.k_sparsity)
-        vv, vb = self._pack_chunk(v_chunk, self.vfmt, self.p.v_sparsity)
-        lc["k_vals"] = jax.lax.dynamic_update_slice(
-            lc["k_vals"], kv.astype(lc["k_vals"].dtype), (0, chunk_idx * self.kfmt.vals_len))
+        ksegs, kbmp = self._pack_chunk(k_chunk, self.kfmt)
+        vsegs, vbmp = self._pack_chunk(v_chunk, self.vfmt)
+        for si, (seg, k) in enumerate(zip(ksegs, self.kfmt.segs)):
+            R = self.kfmt.seg_rows(k)
+            lc[f"k_vals{si}"] = jax.lax.dynamic_update_slice(
+                lc[f"k_vals{si}"], seg.astype(lc[f"k_vals{si}"].dtype),
+                (0, chunk_idx * R, 0))
         lc["k_bmp"] = jax.lax.dynamic_update_slice(
-            lc["k_bmp"], kb, (0, chunk_idx * self.kfmt.bitmap_words))
-        lc["v_vals"] = jax.lax.dynamic_update_slice(
-            lc["v_vals"], vv.astype(lc["v_vals"].dtype), (0, chunk_idx * self.vfmt.vals_len))
+            lc["k_bmp"], kbmp, (0, chunk_idx * self.kfmt.planes, 0))
+        for si, (seg, k) in enumerate(zip(vsegs, self.vfmt.segs)):
+            R = self.vfmt.seg_rows(k)
+            lc[f"v_vals{si}"] = jax.lax.dynamic_update_slice(
+                lc[f"v_vals{si}"], seg.astype(lc[f"v_vals{si}"].dtype),
+                (0, chunk_idx * R, 0))
         lc["v_bmp"] = jax.lax.dynamic_update_slice(
-            lc["v_bmp"], vb, (0, chunk_idx * self.vfmt.bitmap_words))
+            lc["v_bmp"], vbmp, (0, chunk_idx * self.vfmt.planes, 0))
         return lc
 
-    def _decode_pool(self, vals, bmp, fmt, batch):
+    def _decode_pool(self, segs, bmp, fmt, batch):
         """Decompress the whole pool to dense [B, Hkv, max_chunks*C, D] (XLA path)."""
-        BH = vals.shape[0]
-        v = vals.reshape(BH, self.max_chunks, fmt.vals_len)
-        b = bmp.reshape(BH, self.max_chunks, fmt.chunk // 32, fmt.dim)
-        dense = sf.decode_chunk(v, b, fmt)                     # [BH, mc, C, D]
+        BH = bmp.shape[0]
+        mc = self.max_chunks
+        segs_c = [s.reshape(BH, mc, fmt.seg_rows(k), 128)
+                  for s, k in zip(segs, fmt.segs)]
+        b = bmp.reshape(BH, mc, fmt.planes, fmt.dim)
+        dense = sf.decode_chunk(segs_c, b, fmt)                # [BH, mc, C, D]
         H = self.model.num_kv_heads
-        return dense.reshape(batch, H, self.max_chunks * fmt.chunk, fmt.dim)
+        return dense.reshape(batch, H, mc * fmt.chunk, fmt.dim)
 
     # -- prefill ----------------------------------------------------------
     def prefill_attend(self, lc, q, k, v, true_len):
@@ -116,7 +132,7 @@ class CompressedKVCache:
         C, r = self.C, self.r
         comp_len = jnp.maximum(true_len - r, 0) // C * C       # reference :416
         n_pre = comp_len // C
-        max_pre = max(T // C, 1)
+        max_pre = T // C
 
         def body(i, lc):
             start = i * C
@@ -127,17 +143,15 @@ class CompressedKVCache:
                                 lambda lc: lc, lc)
 
         lc = dict(lc)
-        if T >= C:  # a prompt shorter than one chunk can never compress (static)
+        if max_pre > 0:  # a prompt shorter than one chunk can never compress
             lc = jax.lax.fori_loop(0, max_pre, body, lc)
         lc["n_chunks"] = n_pre.astype(jnp.int32)
 
         # window <- tokens [comp_len, true_len); length in [r, r+C)
-        # gather rows comp_len + [0, wcap) (clamped; masked by win_len)
         idx = comp_len + jnp.arange(self.wcap)
-        win_rows_k = jnp.take_along_axis(
-            k, jnp.minimum(idx, T - 1)[None, :, None, None].repeat(B, 0), axis=1)
-        win_rows_v = jnp.take_along_axis(
-            v, jnp.minimum(idx, T - 1)[None, :, None, None].repeat(B, 0), axis=1)
+        take = jnp.minimum(idx, T - 1)[None, :, None, None]
+        win_rows_k = jnp.take_along_axis(k, take, axis=1)
+        win_rows_v = jnp.take_along_axis(v, take, axis=1)
         valid = (idx < true_len)[None, :, None, None]
         lc["k_win"] = jnp.where(valid, win_rows_k, 0).astype(lc["k_win"].dtype)
         lc["v_win"] = jnp.where(valid, win_rows_v, 0).astype(lc["v_win"].dtype)
@@ -154,20 +168,20 @@ class CompressedKVCache:
         comp_len = n_chunks * C
         win_len = pos + 1 - comp_len                            # incl. new token
 
-        # append new token to window at win_len-1
-        lc["k_win"] = jax.lax.dynamic_update_slice_in_dim(lc["k_win"], k, win_len - 1, axis=1)
-        lc["v_win"] = jax.lax.dynamic_update_slice_in_dim(lc["v_win"], v, win_len - 1, axis=1)
+        lc["k_win"] = jax.lax.dynamic_update_slice_in_dim(
+            lc["k_win"], k.astype(lc["k_win"].dtype), win_len - 1, axis=1)
+        lc["v_win"] = jax.lax.dynamic_update_slice_in_dim(
+            lc["v_win"], v.astype(lc["v_win"].dtype), win_len - 1, axis=1)
 
         if self.use_pallas:
             from mustafar_tpu.ops.kernels import sparse_attention as ska
-            out = ska.sparse_decode_attention(
-                q, lc["k_vals"], lc["k_bmp"], lc["v_vals"], lc["v_bmp"],
+            out = ska.fused_sparse_decode_attention(
+                q, self._ksegs(lc), lc["k_bmp"], self._vsegs(lc), lc["v_bmp"],
                 lc["k_win"], lc["v_win"], n_chunks, win_len,
                 self.kfmt, self.vfmt, self.max_chunks)
         else:
             out = self._decode_attend_xla(lc, q, n_chunks, win_len, B, Hkv, D)
 
-        # compaction: when the window holds r + C valid tokens, pack the oldest C
         def compact(lc):
             k_chunk = lc["k_win"][:, :C]
             v_chunk = lc["v_win"][:, :C]
@@ -183,10 +197,13 @@ class CompressedKVCache:
         return out, lc
 
     def _decode_attend_xla(self, lc, q, n_chunks, win_len, B, Hkv, D):
-        """Reference XLA path: decompress pools, two-part masked attention."""
+        """XLA fallback: decompress pools, two-part masked attention.
+
+        Numerically mirrors the kernel path (and the reference decode,
+        llama_mustafar_kernel.py:256-321)."""
         S = self.max_chunks * self.C
-        k_dense = self._decode_pool(lc["k_vals"], lc["k_bmp"], self.kfmt, B)  # [B,H,S,D]
-        v_dense = self._decode_pool(lc["v_vals"], lc["v_bmp"], self.vfmt, B)
+        k_dense = self._decode_pool(self._ksegs(lc), lc["k_bmp"], self.kfmt, B)
+        v_dense = self._decode_pool(self._vsegs(lc), lc["v_bmp"], self.vfmt, B)
         G = q.shape[2] // Hkv
         qg = q[:, 0].reshape(B, Hkv, G, D)
         scale = 1.0 / jnp.sqrt(jnp.float32(D))

@@ -1,0 +1,399 @@
+"""Pallas TPU sparse decode-attention kernels.
+
+TPU-native replacement for the reference CUDA batched SpMV pair
+(kernel/csrc/SpMM_Kernel.cuh: ``Key_Kernel`` :156-419 / ``Value_Kernel``
+:421-676, driven via mustafar_key_formulation / mustafar_value_formulation,
+kernel/kernel_wrapper/mustafar_wrapper.cu:19-263).  Same "Load-as-Sparse,
+Compute-as-Dense" strategy, redesigned for the MXU/VPU instead of
+m16n8k16 tensor-core fragments:
+
+  * compressed chunks stream HBM -> VMEM through the pallas grid pipeline
+    (the CUDA double-buffered cp.async loop, SpMM_Kernel.cuh:318-379, becomes
+    BlockSpec-driven automatic double buffering);
+  * the bitmap expands with tile-repeat + shift + MXU triangular-matmul rank
+    (replacing per-bit ``__clzll`` scatter, SpMM_Kernel.cuh:109-151);
+  * packed values expand via lane dynamic-gather from tiled split-pool
+    tables (see ops/sparse_format.py for the layout derivation);
+  * the expanded dense tile feeds a single MXU matmul against the padded
+    query/probability block — the reference pads the single decode row to
+    N=8 (llama_mustafar_kernel.py:273,313); we pad to 8 sublanes likewise.
+
+GQA head sharing falls out of layout: pools are indexed by kv-head and the
+query block carries all G = Hq/Hkv query rows of the group (the CUDA kernels
+recompute a group_id per block instead, SpMM_Kernel.cuh:174-185).
+
+Two kernels (scores, then combine) mirror the reference's two formulations;
+the fp32 softmax between them runs in XLA and fuses with the window path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mustafar_tpu.ops.sparse_format import ChunkFormat
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _expand_chunk(seg_refs, bmp, fmt: ChunkFormat, out_dtype=jnp.bfloat16):
+    """Expand one compressed chunk to dense [C, D] inside a kernel.
+
+    seg_refs: loaded segment blocks, list of [R_i, 128] arrays.
+    bmp: [P, D] uint32 word planes.
+    """
+    C, D, P = fmt.chunk, fmt.dim, fmt.planes
+    words = jnp.concatenate([bmp] * (C // P), axis=0)              # [C, D]
+    tdiv = jax.lax.broadcasted_iota(jnp.uint32, (C, D), 0) // jnp.uint32(P)
+    bits_i = ((words >> tdiv) & jnp.uint32(1)).astype(jnp.int32)
+    bits = bits_i.astype(jnp.bfloat16)
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (D, D), 0) <=
+           jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)).astype(jnp.bfloat16)
+    # inclusive prefix-sum along lanes on the MXU (cumsum is not lowerable);
+    # exact in bf16 -> f32 for counts <= 256.
+    rank = jax.lax.dot_general(bits, tri, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    rank = rank.astype(jnp.int32) - 1                               # [C, D]
+    dense = jnp.zeros((C, D), jnp.float32)
+    base = 0
+    for seg, k in zip(seg_refs, fmt.segs):
+        R = fmt.seg_rows(k)
+        rpt = C // R
+        tbl = jnp.concatenate([seg.astype(jnp.float32)] * rpt, axis=0)  # [C,128]
+        toff = jax.lax.broadcasted_iota(jnp.int32, (C, D), 0) // R
+        idx = toff * k + jnp.clip(rank - base, 0, k - 1)
+        g = jnp.take_along_axis(tbl, idx, axis=-1)
+        use = (rank >= base) & (rank < base + k) & (bits_i > 0)
+        dense = jnp.where(use, g, dense)
+        base += k
+    return dense.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 1: sparse key scores — scores[g, t] = q[g, :] . K_dense[t, :]
+# (reference Key_Kernel: C[seq_c x 8] = K_sparse[seq_c x d] x q_pad[d x 8])
+# ---------------------------------------------------------------------------
+
+def _key_scores_kernel(nc_ref, *refs, fmt: ChunkFormat, nseg: int):
+    (*seg_refs, bmp_ref, q_ref, out_ref) = refs
+    i = pl.program_id(1)
+
+    @pl.when(i < nc_ref[0])
+    def _():
+        dense = _expand_chunk([r[0] for r in seg_refs], bmp_ref[0], fmt)
+        q = q_ref[0]                                              # [G8, D] bf16
+        out_ref[0] = jax.lax.dot_general(
+            q, dense, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                   # [G8, C]
+
+    @pl.when(i >= nc_ref[0])
+    def _():
+        out_ref[0] = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
+
+
+def sparse_key_scores(q: jnp.ndarray, k_segs: list[jnp.ndarray], k_bmp: jnp.ndarray,
+                      n_chunks: jnp.ndarray, fmt: ChunkFormat, max_chunks: int):
+    """q [BH, G8, D] bf16; k_segs[i] [BH, max_chunks*R_i, 128]; k_bmp
+    [BH, max_chunks*P, D] uint32 -> scores [BH, G8, max_chunks*C] fp32.
+
+    Chunks >= n_chunks yield zeros (caller masks before softmax).
+    """
+    BH, G8, D = q.shape
+    C = fmt.chunk
+    nseg = len(fmt.segs)
+    grid = (BH, max_chunks)
+
+    in_specs = []
+    for k in fmt.segs:
+        R = fmt.seg_rows(k)
+        in_specs.append(pl.BlockSpec((1, R, 128), lambda h, i, *_, R=R: (h, i, 0),
+                                     memory_space=pltpu.VMEM))
+    P = fmt.planes
+    in_specs.append(pl.BlockSpec((1, P, D), lambda h, i, *_: (h, i, 0),
+                                 memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((1, G8, D), lambda h, i, *_: (h, 0, 0),
+                                 memory_space=pltpu.VMEM))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, G8, C), lambda h, i, *_: (h, 0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    segs3 = [s.reshape(BH, max_chunks * fmt.seg_rows(k), 128)
+             for s, k in zip(k_segs, fmt.segs)]
+    return pl.pallas_call(
+        functools.partial(_key_scores_kernel, fmt=fmt, nseg=nseg),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BH, G8, max_chunks * C), jnp.float32),
+        interpret=_interpret(),
+    )(n_chunks.reshape(1), *segs3, k_bmp.reshape(BH, max_chunks * P, D), q)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2: sparse value combine — out[g, :] += w[g, chunk] . V_dense[chunk, :]
+# (reference Value_Kernel: out[d x 8] = V^T_sparse[d x seq_c] x p_pad[seq_c x 8])
+# ---------------------------------------------------------------------------
+
+def _value_combine_kernel(nc_ref, *refs, fmt: ChunkFormat):
+    (*seg_refs, bmp_ref, w_ref, out_ref) = refs
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[0] = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
+
+    @pl.when(i < nc_ref[0])
+    def _():
+        dense = _expand_chunk([r[0] for r in seg_refs], bmp_ref[0], fmt)
+        w = w_ref[0]                                              # [G8, C] bf16
+        out_ref[0] += jnp.dot(w, dense, preferred_element_type=jnp.float32)
+
+
+def sparse_value_combine(w: jnp.ndarray, v_segs: list[jnp.ndarray], v_bmp: jnp.ndarray,
+                         n_chunks: jnp.ndarray, fmt: ChunkFormat, max_chunks: int):
+    """w [BH, G8, max_chunks*C] bf16 softmax weights (zeros beyond n_chunks)
+    -> out [BH, G8, D] fp32."""
+    BH, G8, _ = w.shape
+    C, D, P = fmt.chunk, fmt.dim, fmt.planes
+    grid = (BH, max_chunks)
+
+    in_specs = []
+    for k in fmt.segs:
+        R = fmt.seg_rows(k)
+        in_specs.append(pl.BlockSpec((1, R, 128), lambda h, i, *_, R=R: (h, i, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((1, P, D), lambda h, i, *_: (h, i, 0),
+                                 memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((1, G8, C), lambda h, i, *_: (h, 0, i),
+                                 memory_space=pltpu.VMEM))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, G8, D), lambda h, i, *_: (h, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    segs3 = [s.reshape(BH, max_chunks * fmt.seg_rows(k), 128)
+             for s, k in zip(v_segs, fmt.segs)]
+    return pl.pallas_call(
+        functools.partial(_value_combine_kernel, fmt=fmt),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BH, G8, D), jnp.float32),
+        interpret=_interpret(),
+    )(n_chunks.reshape(1), *segs3, v_bmp.reshape(BH, max_chunks * P, D), w)
+
+
+# ---------------------------------------------------------------------------
+# Full decode attention: sparse pools + dense window + fp32 softmax.
+# ---------------------------------------------------------------------------
+
+def sparse_decode_attention(q, k_segs, k_bmp, v_segs, v_bmp, k_win, v_win,
+                            n_chunks, win_len, kfmt: ChunkFormat,
+                            vfmt: ChunkFormat, max_chunks: int):
+    """Decode-step attention over (compressed pools ++ dense window).
+
+    q: [B, 1, Hq, D]; k_segs/v_segs: lists of [BH, mc*R_i, 128];
+    k_bmp/v_bmp: [BH, mc*P*D] (flat) or [BH, mc*P, D]; k_win/v_win:
+    [B, W, Hkv, D]; n_chunks, win_len: int32 scalars.
+    Returns [B, 1, Hq, D] in q.dtype.
+
+    Equivalent to the reference decode path llama_mustafar_kernel.py:256-321
+    (key SpMV ++ window matmul -> fp32 softmax -> value SpMV + window matmul).
+    """
+    B, _, Hq, D = q.shape
+    W = k_win.shape[1]
+    Hkv = k_win.shape[2]
+    G = Hq // Hkv
+    G8 = max(8, G)
+    BH = B * Hkv
+    C = kfmt.chunk
+    S = max_chunks * C
+
+    qg = q[:, 0].reshape(B, Hkv, G, D)
+    qpad = jnp.pad(qg.reshape(BH, G, D), ((0, 0), (0, G8 - G), (0, 0)))
+    qb = qpad.astype(jnp.bfloat16)
+
+    k_bmp = k_bmp.reshape(BH, max_chunks * kfmt.planes, D)
+    v_bmp = v_bmp.reshape(BH, max_chunks * vfmt.planes, D)
+
+    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+    s_comp = sparse_key_scores(qb, k_segs, k_bmp, n_chunks, kfmt, max_chunks)
+    s_comp = s_comp * scale                                        # [BH, G8, S]
+    s_comp = jnp.where((jnp.arange(S) < n_chunks * C)[None, None, :], s_comp, -jnp.inf)
+
+    kw = jnp.transpose(k_win, (0, 2, 1, 3)).reshape(BH, W, D)
+    s_win = jax.lax.dot_general(qpad.astype(jnp.float32), kw.astype(jnp.float32),
+                                (((2,), (2,)), ((0,), (0,)))) * scale
+    s_win = jnp.where((jnp.arange(W) < win_len)[None, None, :], s_win, -jnp.inf)
+
+    logits = jnp.concatenate([s_comp, s_win], axis=-1)             # [BH, G8, S+W]
+    w = jax.nn.softmax(logits, axis=-1)
+    w_comp = jnp.where(jnp.isfinite(w[..., :S]), w[..., :S], 0.0)
+    w_win = w[..., S:]
+
+    o_comp = sparse_value_combine(w_comp.astype(jnp.bfloat16), v_segs, v_bmp,
+                                  n_chunks, vfmt, max_chunks)      # [BH, G8, D]
+    vw = jnp.transpose(v_win, (0, 2, 1, 3)).reshape(BH, W, D)
+    o_win = jax.lax.dot_general(w_win.astype(vw.dtype), vw,
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+    out = (o_comp + o_win)[:, :G, :]                               # [BH, G, D]
+    return out.reshape(B, 1, Hq, D).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused decode kernel: sparse scores + online softmax + sparse combine +
+# dense window, one pass (flash-decoding over compressed chunks).
+# This is the production path; the two-kernel pair above mirrors the
+# reference's structure and anchors correctness tests.
+# ---------------------------------------------------------------------------
+
+def _fused_decode_kernel(scalars_ref, *refs, kfmt: ChunkFormat, vfmt: ChunkFormat,
+                         hpb: int, max_chunks: int, scale: float):
+    nk = len(kfmt.segs)
+    nv = len(vfmt.segs)
+    (ks_refs, rest) = (refs[:nk], refs[nk:])
+    (kb_ref, rest) = (rest[0], rest[1:])
+    (vs_refs, rest) = (rest[:nv], rest[nv:])
+    (vb_ref, qw_ref, kw_ref, vw_ref, out_ref, m_ref, l_ref, acc_ref) = rest
+
+    i = pl.program_id(1)
+    nc = scalars_ref[0]
+    win_len = scalars_ref[1]
+    HPB = hpb
+    G8 = qw_ref.shape[1]
+    D = kfmt.dim
+    C = kfmt.chunk
+
+    @pl.when(i == 0)
+    def _():
+        m_ref[:] = jnp.full(m_ref.shape, -1e30, jnp.float32)
+        l_ref[:] = jnp.zeros(l_ref.shape, jnp.float32)
+        acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    def online_update(h, s, vmat):
+        """s [G8, T] f32 scores; vmat [T, D] bf16 values for head h."""
+        m_old = m_ref[h]                                    # [G8, 128] replicated
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new[:, :1])                       # [G8, T]
+        corr = jnp.exp(m_old - m_new)                       # [G8, 128]
+        l_ref[h] = l_ref[h] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[h] = acc_ref[h] * corr[:, :D] + jax.lax.dot_general(
+            p.astype(jnp.bfloat16), vmat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[h] = m_new
+
+    @pl.when(i < nc)
+    def _():
+        for h in range(HPB):
+            kd = _expand_chunk([r[h] for r in ks_refs], kb_ref[h], kfmt)
+            vd = _expand_chunk([r[h] for r in vs_refs], vb_ref[h], vfmt)
+            s = jax.lax.dot_general(qw_ref[h], kd, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            online_update(h, s, vd)
+
+    @pl.when(i == max_chunks)
+    def _():
+        W = kw_ref.shape[1]
+        wmask = (jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) < win_len)
+        for h in range(HPB):
+            s = jax.lax.dot_general(qw_ref[h], kw_ref[h], (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            s = jnp.where(wmask, s, -1e30)
+            online_update(h, s, vw_ref[h])
+        out_ref[:] = acc_ref[:] / l_ref[:, :, :1]
+
+
+def fused_sparse_decode_attention(q, k_segs, k_bmp, v_segs, v_bmp, k_win, v_win,
+                                  n_chunks, win_len, kfmt: ChunkFormat,
+                                  vfmt: ChunkFormat, max_chunks: int,
+                                  hpb: int = 8):
+    """Fully fused decode attention over (compressed pools ++ dense window).
+
+    Same contract as sparse_decode_attention, one kernel: expansion + scores +
+    online softmax + value combine never round-trip HBM (the reference's
+    materialized [B,H,1,T] fp32 softmax, llama_mustafar_kernel.py:304, and
+    its two CUDA launches per layer collapse into one pass).
+    """
+    B, _, Hq, D = q.shape
+    W = k_win.shape[1]
+    Hkv = k_win.shape[2]
+    G = Hq // Hkv
+    G8 = max(8, G)
+    BH = B * Hkv
+    C = kfmt.chunk
+    hpb = min(hpb, BH)
+    while BH % hpb:
+        hpb //= 2
+    NB = BH // hpb
+
+    qg = q[:, 0].reshape(B, Hkv, G, D)
+    qpad = jnp.pad(qg.reshape(BH, G, D), ((0, 0), (0, G8 - G), (0, 0)))
+    qb = qpad.astype(jnp.bfloat16)
+    kw = jnp.transpose(k_win, (0, 2, 1, 3)).reshape(BH, W, D).astype(jnp.bfloat16)
+    vw = jnp.transpose(v_win, (0, 2, 1, 3)).reshape(BH, W, D).astype(jnp.bfloat16)
+    k_bmp = k_bmp.reshape(BH, max_chunks * kfmt.planes, D)
+    v_bmp = v_bmp.reshape(BH, max_chunks * vfmt.planes, D)
+
+    grid = (NB, max_chunks + 1)
+    scalars = jnp.stack([n_chunks.astype(jnp.int32), win_len.astype(jnp.int32)])
+
+    def chunk_spec(R):
+        # inactive steps clamp to the last active chunk: same block index as
+        # the previous step -> the pipeline skips the refetch.
+        def index_map(b, i, sref):
+            ic = jnp.where(i < sref[0], i, jnp.maximum(sref[0] - 1, 0))
+            return (b, ic, 0)
+        return pl.BlockSpec((hpb, R, 128), index_map, memory_space=pltpu.VMEM)
+
+    def bmp_spec(P):
+        def index_map(b, i, sref):
+            ic = jnp.where(i < sref[0], i, jnp.maximum(sref[0] - 1, 0))
+            return (b, ic, 0)
+        return pl.BlockSpec((hpb, P, D), index_map, memory_space=pltpu.VMEM)
+
+    fixed = lambda shape: pl.BlockSpec(shape, lambda b, i, sref: (b, 0, 0),
+                                       memory_space=pltpu.VMEM)
+
+    in_specs = ([chunk_spec(kfmt.seg_rows(k)) for k in kfmt.segs]
+                + [bmp_spec(kfmt.planes)]
+                + [chunk_spec(vfmt.seg_rows(k)) for k in vfmt.segs]
+                + [bmp_spec(vfmt.planes)]
+                + [fixed((hpb, G8, D)), fixed((hpb, W, D)), fixed((hpb, W, D))])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((hpb, G8, D), lambda b, i, sref: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((hpb, G8, 128), jnp.float32),   # m (replicated lanes)
+            pltpu.VMEM((hpb, G8, 128), jnp.float32),   # l
+            pltpu.VMEM((hpb, G8, D), jnp.float32),     # acc
+        ],
+    )
+    ks3 = [s.reshape(BH, max_chunks * kfmt.seg_rows(k), 128)
+           for s, k in zip(k_segs, kfmt.segs)]
+    vs3 = [s.reshape(BH, max_chunks * vfmt.seg_rows(k), 128)
+           for s, k in zip(v_segs, vfmt.segs)]
+
+    out = pl.pallas_call(
+        functools.partial(_fused_decode_kernel, kfmt=kfmt, vfmt=vfmt, hpb=hpb,
+                          max_chunks=max_chunks, scale=float(1.0 / np.sqrt(D))),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BH, G8, D), jnp.float32),
+        interpret=_interpret(),
+    )(scalars, *ks3, k_bmp, *vs3, v_bmp, qb, kw, vw)
+    return out[:, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)

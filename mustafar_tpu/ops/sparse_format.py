@@ -4,38 +4,70 @@ bitmap format, kernel/compression.py).
 The reference stores, per 64-element tile, an int64 bitmap + a variable-length
 packed fp16 run (8-half aligned) + cumulative offsets — shapes depend on data,
 with host syncs to size buffers (compression.py:294-335).  Under XLA every
-shape must be static, so we redesign:
+shape must be static, so we redesign around three facts of TPU hardware:
 
-* Pruning keeps an **exact** top-``keep`` per token row (ties broken by lower
-  channel index), so a chunk of C tokens always packs to exactly ``C * keep``
-  values — compile-time constant, no offsets, no overflow policy.
-  (The reference's threshold rule keeps ``D - int(s*D) + 1`` values modulo
-  ties — ``PruneConfig.kept_per_row``; we match that count exactly.)
-* Values are packed per token row in ascending channel order, flattened to
-  ``[C * keep]`` so the HBM footprint has no TPU tile padding (a ``[C, keep]``
-  bf16 array would be lane-padded to 128).
-* The bitmap is stored as token-packed word planes ``[C/32, D] uint32``:
-  bit ``t % 32`` of word ``[t // 32, d]`` marks (token t, channel d) nonzero.
-  This layout expands inside a Pallas kernel with only sublane-repeat + shift
-  + mask — no transpose, no relayout (unlike the reference's 64-element tiles
-  along alternating axes, compression.py:32-44,87-97, which are shaped for
-  CUDA ``__clzll`` register decompression, SpMM_Kernel.cuh:109-151).
+1. pruning keeps an **exact** top-``keep`` per token row (ties broken by lower
+   channel index), so a chunk of C tokens always packs to exactly ``C * keep``
+   values — compile-time constant: no offsets, no ``.item()`` syncs, no
+   overflow policy (the reference's threshold rule keeps ``D - int(s*D) + 1``
+   modulo ties; we match that count exactly);
+2. the VPU can only dynamic-gather along lanes within one 128-wide vreg, and
+   ``pltpu.repeat`` has *tile* semantics (row i of the result = row i % R of
+   the source), so every lookup table must be reachable by tiling;
+3. HBM arrays are tiled (minor dim padded to 128), so any compact layout must
+   keep a 128-wide minor dimension.
+
+**Value layout** — ``keep`` is decomposed into at most two powers of two
+(40 = 32 + 8, 65 = 64 + 1); each segment of width k is stored *interleaved* as
+``[R, 128]`` with ``R = C·k/128``: token t lives in row ``t % R`` at lanes
+``(t // R)·k .. +k``.  Tiling ``[R,128] -> [C,128]`` then puts token t's
+values in row t, and a lane-gather with index ``(t//R)·k + rank`` expands.
+
+**Bitmap layout** — ``[P, D] uint32`` word planes with ``P = C/32``,
+interleaved the same way: bit for (token t, channel d) is bit ``t // P`` of
+word ``[t % P, d]``.  Tiling by 32 and shifting by ``t // P`` unpacks without
+any transpose or relayout (unlike the reference's 64-element tiles along
+alternating axes, compression.py:32-44,87-97, which are shaped for CUDA
+``__clzll`` register decompression, SpMM_Kernel.cuh:109-151).
 
 Per 256x128 bf16 chunk at 70 % sparsity (keep=40): 20 KiB values + 4 KiB
 bitmap vs 64 KiB dense = **2.67x** reduction (reference format: ~2.3x,
 BASELINE.md).
-
-Channel-sparse (Vc) chunks reuse the same machinery on the transposed chunk
-with per-``group_size`` grouping along tokens.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+
+def decompose_keep(keep: int) -> tuple[int, ...]:
+    """Smallest sum of at most two powers of two that is >= keep.
+
+    The value layout needs segment widths k with 128 % k == 0; two segments
+    cover every reference sparsity (0.5 -> 65 = 64+1, 0.7 -> 40 = 32+8)
+    exactly, and anything else with <= 17% slack.
+    """
+    assert 1 <= keep <= 128, keep
+    pows = [1, 2, 4, 8, 16, 32, 64, 128]
+    best = None
+    for a in pows:
+        if a >= keep:
+            best = (a,) if best is None or a < sum(best) else best
+            break
+    for a in pows:
+        for b in pows:
+            if b <= a and a + b >= keep and a + b <= 128:
+                if best is None or a + b < sum(best) or (a + b == sum(best) and len(best) > 2):
+                    best = (a, b)
+    # prefer exact single power
+    for a in pows:
+        if a == keep:
+            return (a,)
+    assert best is not None
+    return best
 
 
 @dataclasses.dataclass(frozen=True)
@@ -43,20 +75,37 @@ class ChunkFormat:
     """Token-sparse chunk format parameters."""
 
     chunk: int          # C — tokens per chunk (reference compacts per 256)
-    dim: int            # D — head_dim (lane dimension, 128 for all ref models)
-    keep: int           # exact survivors per token row
+    dim: int            # D — head_dim (lane dimension; 128 for all ref models)
+    keep: int           # requested survivors per token row
+
+    def __post_init__(self):
+        assert self.chunk % 32 == 0
+        for k in self.segs:
+            assert (self.chunk * k) % 128 == 0, (self.chunk, k)
 
     @property
-    def vals_len(self) -> int:
-        return self.chunk * self.keep
+    def segs(self) -> tuple[int, ...]:
+        return decompose_keep(self.keep)
 
     @property
-    def bitmap_words(self) -> int:
-        return (self.chunk // 32) * self.dim
+    def keep_stored(self) -> int:
+        return sum(self.segs)
+
+    @property
+    def planes(self) -> int:
+        return self.chunk // 32
+
+    def seg_rows(self, k: int) -> int:
+        return self.chunk * k // 128
+
+    @property
+    def total_rows(self) -> int:
+        """Value rows per chunk across segments (each row is 128 wide)."""
+        return sum(self.seg_rows(k) for k in self.segs)
 
     @property
     def bytes_per_chunk(self) -> int:
-        return self.vals_len * 2 + self.bitmap_words * 4
+        return self.total_rows * 128 * 2 + self.planes * self.dim * 4
 
     @property
     def dense_bytes(self) -> int:
@@ -68,71 +117,85 @@ class ChunkFormat:
 
 
 def topk_mask(x: jnp.ndarray, keep: int) -> jnp.ndarray:
-    """Keep-mask of the ``keep`` largest |x| along the last axis.
+    """Keep-mask of the ``keep`` largest |x| along the last axis (stable ties)."""
+    _, idx = jax.lax.top_k(jnp.abs(x.astype(jnp.float32)), keep)
+    bits = jnp.zeros(x.shape, jnp.int32)
+    return jnp.put_along_axis(bits, idx, 1, axis=-1, inplace=False) > 0
 
-    Ties broken by lower index (jax.lax.top_k is stable in index order).
-    """
-    mag = jnp.abs(x.astype(jnp.float32))
-    kth = jax.lax.top_k(mag, keep)[0][..., -1:]
-    # Elements strictly above the k-th survive; elements equal to it survive
-    # left-to-right until the count is filled.
-    above = mag > kth
-    eq = mag == kth
-    need = keep - above.sum(-1, keepdims=True)
-    eq_rank = jnp.cumsum(eq.astype(jnp.int32), axis=-1)
-    return above | (eq & (eq_rank <= need))
+
+def _interleave_vals(vals_ck: jnp.ndarray, C: int, k: int) -> jnp.ndarray:
+    """[..., C, k] -> [..., R, 128]: token t -> row t % R, lanes (t//R)*k.."""
+    R = C * k // 128
+    rpt = C // R
+    *lead, _, _ = vals_ck.shape
+    arr = vals_ck.reshape(*lead, rpt, R, k)          # t = m*R + r -> [m, r]
+    arr = jnp.swapaxes(arr, -3, -2)                  # [..., R, rpt, k]
+    return arr.reshape(*lead, R, 128)
+
+
+def _deinterleave_vals(seg: jnp.ndarray, C: int, k: int) -> jnp.ndarray:
+    R = C * k // 128
+    rpt = C // R
+    *lead, _, _ = seg.shape
+    arr = seg.reshape(*lead, R, rpt, k)
+    arr = jnp.swapaxes(arr, -3, -2)
+    return arr.reshape(*lead, C, k)
 
 
 def encode_chunk(dense: jnp.ndarray, fmt: ChunkFormat):
-    """Pack an already-pruned dense chunk.
+    """Pack an already-pruned dense chunk (<= fmt.keep nonzeros per row).
 
-    dense: [..., C, D] with exactly ``fmt.keep`` nonzeros per row (rows with
-    fewer nonzeros pack fine; extra zeros are stored explicitly).
-    Returns (vals [..., C*keep], bitmap [..., C//32, D] uint32).
+    dense: [..., C, D].  Returns (segs: list of [..., R_i, 128] arrays in
+    dense.dtype, bitmap: [..., P, D] uint32).
 
-    Pure-XLA reference implementation (tests + CPU fallback); the fused
-    prune+pack Pallas kernel lives in ops/kernels/compress.py.
+    Pure-XLA implementation (prefill compression, tests, CPU fallback);
+    bit-identical to what the Pallas expansion kernels expect.
     """
-    C, D, keep = fmt.chunk, fmt.dim, fmt.keep
+    C, D = fmt.chunk, fmt.dim
+    keep = fmt.keep_stored
     assert dense.shape[-2:] == (C, D), (dense.shape, fmt)
-    nz = dense != 0
-    # keep-mask: first `keep` nonzeros per row in channel order (rows are
-    # guaranteed <= keep nonzeros by the pruner; clamp defensively).
-    rank = jnp.cumsum(nz.astype(jnp.int32), axis=-1) - 1          # [..., C, D]
-    take = nz & (rank < keep)
-    # bitmap planes: word [t//32, d], bit t%32
-    bits = take.astype(jnp.uint32)
     *lead, _, _ = dense.shape
-    planes = bits.reshape(*lead, C // 32, 32, D)
-    shifts = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :, None]
-    bitmap = (planes * shifts).sum(axis=-2, dtype=jnp.uint32)      # [..., C//32, D]
-    # packed values: scatter row value into slot `rank` (one-hot matmul — XLA
-    # lowers the small-range scatter fine on CPU/TPU outside kernels).
-    slot = jnp.where(take, rank, keep)                             # overflow -> dropped
-    onehot = jax.nn.one_hot(slot, keep + 1, dtype=dense.dtype)[..., :keep]
-    vals = jnp.einsum("...cd,...cdk->...ck", dense, onehot)
-    return vals.reshape(*lead, C * keep).astype(dense.dtype), bitmap
+    mag = jnp.abs(dense.astype(jnp.float32))
+    # top-`keep` slots: nonzeros first (ties to lower channel), zeros pad.
+    _, idx = jax.lax.top_k(jnp.where(dense != 0, mag, -1.0), keep)
+    idx = jnp.sort(idx, axis=-1)                     # channel order
+    vals = jnp.take_along_axis(dense, idx, axis=-1)  # [..., C, keep]
+    # bitmap marks the *stored* slots (zero-valued pads included, so popcount
+    # is always exactly `keep` and rank mapping is total).
+    bits = jnp.put_along_axis(jnp.zeros(dense.shape, jnp.int32), idx, 1,
+                              axis=-1, inplace=False)
+    P = fmt.planes
+    planes = bits.reshape(*lead, 32, P, D).astype(jnp.uint32)   # t = b*P + r
+    shifts = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[:, None, None]
+    bitmap = (planes * shifts).sum(axis=-3, dtype=jnp.uint32)    # [..., P, D]
+    segs, off = [], 0
+    for k in fmt.segs:
+        segs.append(_interleave_vals(vals[..., off:off + k], C, k).astype(dense.dtype))
+        off += k
+    return segs, bitmap
 
 
 def unpack_bitmap(bitmap: jnp.ndarray, fmt: ChunkFormat) -> jnp.ndarray:
-    """bitmap [..., C//32, D] uint32 -> bool [..., C, D]."""
-    C, D = fmt.chunk, fmt.dim
+    """bitmap [..., P, D] uint32 -> int32 bits [..., C, D] (1 = stored slot)."""
+    C, D, P = fmt.chunk, fmt.dim, fmt.planes
+    reps = C // P
     *lead, _, _ = bitmap.shape
-    words = jnp.repeat(bitmap, 32, axis=-2)                        # [..., C, D]
-    t = jnp.arange(C) % 32
-    bits = (words >> t[:, None].astype(jnp.uint32)) & jnp.uint32(1)
-    return bits.astype(bool)
+    words = jnp.concatenate([bitmap] * reps, axis=-2)            # row t = bmp[t % P]
+    shift = (jnp.arange(C, dtype=jnp.uint32) // P)[:, None]
+    return ((words >> shift) & jnp.uint32(1)).astype(jnp.int32)
 
 
-def decode_chunk(vals: jnp.ndarray, bitmap: jnp.ndarray, fmt: ChunkFormat) -> jnp.ndarray:
-    """Inverse of encode_chunk: -> dense [..., C, D]."""
-    C, D, keep = fmt.chunk, fmt.dim, fmt.keep
-    *lead, _ = vals.shape
-    bit = unpack_bitmap(bitmap, fmt)
-    rank = jnp.clip(jnp.cumsum(bit.astype(jnp.int32), axis=-1) - 1, 0, keep - 1)
-    v = vals.reshape(*lead, C, keep)
-    dense = jnp.take_along_axis(v, rank, axis=-1)
-    return jnp.where(bit, dense, 0).astype(vals.dtype)
+def decode_chunk(segs: list[jnp.ndarray], bitmap: jnp.ndarray,
+                 fmt: ChunkFormat) -> jnp.ndarray:
+    """Inverse of encode_chunk -> dense [..., C, D]."""
+    C, D = fmt.chunk, fmt.dim
+    bits = unpack_bitmap(bitmap, fmt)
+    rank = jnp.cumsum(bits, axis=-1) - 1                         # [..., C, D]
+    vals_parts = [_deinterleave_vals(s, C, k) for s, k in zip(segs, fmt.segs)]
+    vals = jnp.concatenate(vals_parts, axis=-1)                  # [..., C, keep]
+    take = jnp.clip(rank, 0, fmt.keep_stored - 1)
+    dense = jnp.take_along_axis(vals, take, axis=-1)
+    return jnp.where(bits > 0, dense, 0).astype(vals.dtype)
 
 
 def prune_and_encode_chunk(dense: jnp.ndarray, fmt: ChunkFormat):

@@ -1,0 +1,88 @@
+"""Tensor/data-parallel sharding over a jax.sharding.Mesh.
+
+New capability relative to the reference, which is single-GPU with only dead
+``pretraining_tp`` weight-slicing branches (SURVEY.md §2.6,
+llama_mustafar_Kt_Mag_Vt_Mag.py:353-368).  Design per the north star:
+
+  * mesh axes ("data", "model"): batch over data (DP), heads/ffn over model
+    (TP over ICI);
+  * KV caches and compressed pools are sharded by kv-head over "model", so
+    the sparse-attention path is head-local — no collectives inside
+    attention; only the qkv/o and mlp projections reduce over "model"
+    (XLA inserts the psum from the shardings);
+  * compressed pools are [L, B*Hkv, ...] with b-major flattening, so the
+    joint dim shards as ("data", "model").
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mustafar_tpu.config import EngineConfig, ModelConfig
+
+
+def make_mesh(dp: int, tp: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert dp * tp <= len(devices), (dp, tp, len(devices))
+    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, ("data", "model"))
+
+
+def param_specs(cfg: ModelConfig) -> dict:
+    """PartitionSpecs for the llama param pytree (layer-stacked leaves).
+
+    Megatron-style: column-parallel qkv/gate/up (output dim over "model"),
+    row-parallel o/down (input dim over "model") so each block needs one
+    psum, inserted automatically by GSPMD from these annotations.
+    """
+    return {
+        "embed": P(None, None),
+        "layers": {
+            "attn_norm": P(None, None),
+            "wq": P(None, None, "model"),
+            "wk": P(None, None, "model"),
+            "wv": P(None, None, "model"),
+            "wo": P(None, "model", None),
+            "mlp_norm": P(None, None),
+            "w_gate": P(None, None, "model"),
+            "w_up": P(None, None, "model"),
+            "w_down": P(None, "model", None),
+        },
+        "final_norm": P(None,),
+        "lm_head": P(None, "model"),
+    }
+
+
+def cache_specs(engine: EngineConfig, cache_state: dict) -> dict:
+    """PartitionSpecs for a cache pytree (keyed on the state dict's keys).
+
+    Dense/masked caches: [L, B, S, Hkv, D] -> batch over data, kv-heads over
+    model.  Compressed pools: [L, B*Hkv, ...] -> joint dim over (data, model);
+    windows like dense; n_chunks replicated.
+    """
+    specs = {}
+    for key, val in cache_state.items():
+        if key == "n_chunks":
+            specs[key] = P(None,)
+        elif key in ("k", "v", "k_win", "v_win", "k_score", "v_score"):
+            specs[key] = P(None, "data", None, "model", None)
+        elif key.startswith(("k_vals", "v_vals")) or key.endswith("_bmp"):
+            specs[key] = P(None, ("data", "model"), *([None] * (val.ndim - 2)))
+        else:
+            raise ValueError(key)
+    return specs
+
+
+def shard_pytree(tree, specs, mesh: Mesh):
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs,
+        is_leaf=lambda x: isinstance(x, P))
+
+
+def filter_specs_for(params: dict, specs: dict) -> dict:
+    """Drop spec entries absent from params (e.g. lm_head when tied)."""
+    if "lm_head" in specs and "lm_head" not in params:
+        specs = {k: v for k, v in specs.items() if k != "lm_head"}
+    return specs

@@ -1,0 +1,139 @@
+"""Engine state-machine tests (SURVEY.md §4 layer (d)): 256-chunk append,
+residual window, prefill/decode parity, lossless-compression equivalence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mustafar_tpu.config import (CacheMode, EngineConfig, PruneConfig, PruneMethod,
+                                 TINY_LLAMA)
+from mustafar_tpu.cache import make_cache
+from mustafar_tpu.cache.compressed import CompressedKVCache
+from mustafar_tpu.models.llama import init_params
+from mustafar_tpu.ops import sparse_format as sf
+from mustafar_tpu.runtime.generate import Generator
+
+import dataclasses
+
+# tiny model with head_dim 128 so chunk formats are realistic
+MODEL128 = dataclasses.replace(TINY_LLAMA, name="tiny128", num_heads=2,
+                               num_kv_heads=1, head_dim=128, hidden_size=128)
+
+
+def _engine(sparsity, max_seq=1024):
+    return EngineConfig(
+        model=MODEL128,
+        cache_mode=CacheMode.COMPRESSED,
+        prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                          k_sparsity=sparsity, v_sparsity=sparsity),
+        max_seq_len=max_seq, prefill_bucket=256, chunk_size=256)
+
+
+def test_compressed_lossless_matches_dense():
+    """At sparsity 0 (keep=128) compression is exact, so COMPRESSED generation
+    must reproduce DENSE generation token-for-token across prefill chunking,
+    window management, and softmax splitting."""
+    params = init_params(MODEL128, jax.random.PRNGKey(0), dtype=jnp.float32)
+    prompt = np.random.RandomState(0).randint(0, 512, size=(2, 300))
+
+    dense_eng = EngineConfig(model=MODEL128, cache_mode=CacheMode.DENSE,
+                             max_seq_len=1024, prefill_bucket=256)
+    dense = Generator(dense_eng, params, dtype=jnp.float32).generate(prompt, 40)
+
+    comp = Generator(_engine(0.0), params, dtype=jnp.float32).generate(prompt, 40)
+    for a, b in zip(dense, comp):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_prefill_chunking_and_window():
+    """Prefill with true_len=600, r=32: comp_len = ((600-32)//256)*256 = 512,
+    so 2 chunks pack the pruned prefix and the window holds tokens 512..600."""
+    eng = _engine(0.7)
+    impl = CompressedKVCache(eng, use_pallas=False)
+    B, Hkv, D = 1, MODEL128.num_kv_heads, MODEL128.head_dim
+    rs = np.random.RandomState(1)
+    T, true_len = 768, 600
+    q = jnp.asarray(rs.randn(B, T, MODEL128.num_heads, D), jnp.float32)
+    k = jnp.asarray(rs.randn(B, T, Hkv, D), jnp.float32)
+    v = jnp.asarray(rs.randn(B, T, Hkv, D), jnp.float32)
+    cache = impl.init(B, jnp.float32)
+    lc = {key: val[0] for key, val in cache.items()}
+    _, lc = impl.prefill_attend(lc, q, k, v, jnp.int32(true_len))
+
+    assert int(lc["n_chunks"]) == 2
+    # pools hold the exact-top-k pruned prefix
+    k_dense = np.asarray(impl._decode_pool(impl._ksegs(lc), lc["k_bmp"], impl.kfmt, B))
+    kk = np.asarray(k)[0].transpose(1, 0, 2)           # [Hkv, T, D]
+    mask = np.asarray(sf.topk_mask(jnp.asarray(kk[:, :512]), impl.kfmt.keep))
+    np.testing.assert_allclose(k_dense[0, :, :512], kk[:, :512] * mask, atol=1e-6)
+    assert (k_dense[0, :, 512:] == 0).all()
+    # window holds tokens 512..600 dense, zero beyond
+    kw = np.asarray(lc["k_win"])[0]                    # [Wcap, Hkv, D]
+    np.testing.assert_allclose(kw[:88], np.asarray(k)[0, 512:600], atol=1e-6)
+    assert (kw[88:] == 0).all()
+
+
+def test_decode_compaction_appends_chunk():
+    """Decoding past window capacity (r + C) packs the oldest C window tokens
+    into the pools and shifts the window (reference llama_mustafar_kernel.py:324-398)."""
+    eng = _engine(0.7)
+    impl = CompressedKVCache(eng, use_pallas=False)
+    B, Hkv, D = 1, MODEL128.num_kv_heads, MODEL128.head_dim
+    Hq = MODEL128.num_heads
+    rs = np.random.RandomState(2)
+    T = 256
+    # prefill exactly r+... : true_len=288 -> comp_len = 256, window len 32
+    q = jnp.asarray(rs.randn(B, 512, Hq, D), jnp.float32)
+    k = jnp.asarray(rs.randn(B, 512, Hkv, D), jnp.float32)
+    v = jnp.asarray(rs.randn(B, 512, Hkv, D), jnp.float32)
+    cache = impl.init(B, jnp.float32)
+    lc = {key: val[0] for key, val in cache.items()}
+    _, lc = impl.prefill_attend(lc, q, k, v, jnp.int32(288))
+    assert int(lc["n_chunks"]) == 1
+
+    # decode steps until the window refills to r + C = 288 (need 256 steps)
+    kept_k = []
+    pos = 288
+    for step in range(256):
+        qd = jnp.asarray(rs.randn(B, 1, Hq, D), jnp.float32)
+        kd = jnp.asarray(rs.randn(B, 1, Hkv, D), jnp.float32)
+        vd = jnp.asarray(rs.randn(B, 1, Hkv, D), jnp.float32)
+        kept_k.append(np.asarray(kd)[0, 0])
+        out, lc = impl.decode_attend(lc, qd, kd, vd, jnp.int32(pos))
+        assert out.shape == (B, 1, Hq, D)
+        pos += 1
+        expect_chunks = 2 if pos >= 288 + 256 else 1
+        assert int(lc["n_chunks"]) == expect_chunks, (step, pos)
+    # after compaction the window restarts with the residual (32 tokens)
+    win_len = pos - int(lc["n_chunks"]) * 256
+    assert win_len == 32
+    kw = np.asarray(lc["k_win"])[0]
+    # window rows = the last 32 appended tokens
+    last32 = np.stack(kept_k[-32:])[:, None, :] if Hkv == 1 else None
+    np.testing.assert_allclose(kw[:32], np.stack(kept_k[-32:]), atol=1e-6)
+    assert (kw[32:] == 0).all()
+
+
+def test_xla_and_interpret_kernel_paths_agree():
+    """The pallas (interpret) path and the XLA fallback must produce the same
+    decode output from the same cache state."""
+    eng = _engine(0.7)
+    impl_x = CompressedKVCache(eng, use_pallas=False)
+    impl_p = CompressedKVCache(eng, use_pallas=True)   # interpret on CPU
+    B, Hkv, D = 1, MODEL128.num_kv_heads, MODEL128.head_dim
+    Hq = MODEL128.num_heads
+    rs = np.random.RandomState(3)
+    q = jnp.asarray(rs.randn(B, 512, Hq, D), jnp.float32)
+    k = jnp.asarray(rs.randn(B, 512, Hkv, D), jnp.float32)
+    v = jnp.asarray(rs.randn(B, 512, Hkv, D), jnp.float32)
+    cache = impl_x.init(B, jnp.float32)
+    lc = {key: val[0] for key, val in cache.items()}
+    _, lc = impl_x.prefill_attend(lc, q, k, v, jnp.int32(500))
+
+    qd = jnp.asarray(rs.randn(B, 1, Hq, D), jnp.float32)
+    kd = jnp.asarray(rs.randn(B, 1, Hkv, D), jnp.float32)
+    vd = jnp.asarray(rs.randn(B, 1, Hkv, D), jnp.float32)
+    out_x, _ = impl_x.decode_attend(dict(lc), qd, kd, vd, jnp.int32(500))
+    out_p, _ = impl_p.decode_attend(dict(lc), qd, kd, vd, jnp.int32(500))
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(out_p),
+                               rtol=2e-2, atol=2e-2)

@@ -1,8 +1,8 @@
 """Compression round-trip property tests (SURVEY.md §4 test pyramid layer (b)).
 
 decode(encode(pruned_dense)) == pruned_dense; bitmap population counts;
-compression ratio of the format (reference format math: compression.py:42-53,
-BASELINE.md ~2.3x at 70%)."""
+interleaved layout invariants; compression ratio (reference format math:
+compression.py:42-53, BASELINE.md ~2.3x at 70%)."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -11,67 +11,105 @@ from mustafar_tpu.ops import sparse_format as sf
 from mustafar_tpu.ops import pruning
 
 
-FMT = sf.ChunkFormat(chunk=256, dim=128, keep=40)
+FMT = sf.ChunkFormat(chunk=256, dim=128, keep=40)   # 70% sparsity
+
+
+def test_decompose_keep():
+    assert sf.decompose_keep(40) == (32, 8)
+    assert sf.decompose_keep(65) == (64, 1)
+    assert sf.decompose_keep(64) == (64,)
+    assert sf.decompose_keep(128) == (128,)
+    assert sf.decompose_keep(1) == (1,)
+    for k in range(1, 129):
+        segs = sf.decompose_keep(k)
+        assert sum(segs) >= k and len(segs) <= 2
+        assert all(s in (1, 2, 4, 8, 16, 32, 64, 128) for s in segs)
 
 
 def make_pruned(rs, lead=(), fmt=FMT):
     x = rs.randn(*lead, fmt.chunk, fmt.dim).astype(np.float32)
-    return np.asarray(pruning.prune_token_mag(jnp.asarray(x), 1 - (fmt.keep - 1) / fmt.dim))
+    mask = np.asarray(sf.topk_mask(jnp.asarray(x), fmt.keep))
+    return x * mask
 
 
 def test_roundtrip_exact():
     rs = np.random.RandomState(0)
-    for fmt in [FMT, sf.ChunkFormat(chunk=64, dim=128, keep=64),
-                sf.ChunkFormat(chunk=32, dim=64, keep=13)]:
-        s = 1 - (fmt.keep - 1) / fmt.dim
-        x = rs.randn(2, fmt.chunk, fmt.dim).astype(np.float32)
-        pruned = np.asarray(pruning.prune_token_mag(jnp.asarray(x), s, exact=True))
-        assert ((pruned != 0).sum(-1) <= fmt.keep).all()
-        vals, bmp = sf.encode_chunk(jnp.asarray(pruned), fmt)
-        assert vals.shape == (2, fmt.vals_len)
-        assert bmp.shape == (2, fmt.chunk // 32, fmt.dim) and bmp.dtype == jnp.uint32
-        dense = np.asarray(sf.decode_chunk(vals, bmp, fmt))
+    for fmt in [FMT,
+                sf.ChunkFormat(chunk=256, dim=128, keep=65),   # 50% sparsity
+                sf.ChunkFormat(chunk=64, dim=128, keep=64),
+                sf.ChunkFormat(chunk=128, dim=128, keep=13)]:
+        pruned = make_pruned(rs, (2,), fmt)
+        segs, bmp = sf.encode_chunk(jnp.asarray(pruned), fmt)
+        assert len(segs) == len(fmt.segs)
+        for s, k in zip(segs, fmt.segs):
+            assert s.shape == (2, fmt.seg_rows(k), 128)
+        assert bmp.shape == (2, fmt.planes, fmt.dim) and bmp.dtype == jnp.uint32
+        dense = np.asarray(sf.decode_chunk(segs, bmp, fmt))
         np.testing.assert_array_equal(dense, pruned)
 
 
-def test_bitmap_popcount_matches_nnz():
+def test_bitmap_popcount_is_keep_stored():
     rs = np.random.RandomState(1)
     pruned = make_pruned(rs)
     _, bmp = sf.encode_chunk(jnp.asarray(pruned), FMT)
     pop = np.unpackbits(np.asarray(bmp).view(np.uint8)).sum()
-    assert pop == (pruned != 0).sum()
+    # stored slots always == keep_stored per row (zero pads included)
+    assert pop == FMT.chunk * FMT.keep_stored
 
 
-def test_values_packed_in_channel_order():
+def test_interleaved_layout_token_placement():
+    """Token t's first-segment values live at row t%R, lanes (t//R)*k."""
+    fmt = FMT
     rs = np.random.RandomState(2)
     pruned = make_pruned(rs)
-    vals, _ = sf.encode_chunk(jnp.asarray(pruned), FMT)
-    v = np.asarray(vals).reshape(256, 40)
-    for t in range(0, 256, 37):
-        nz = pruned[t][pruned[t] != 0]
-        np.testing.assert_array_equal(v[t, :len(nz)], nz)
+    segs, _ = sf.encode_chunk(jnp.asarray(pruned), fmt)
+    s0 = np.asarray(segs[0])
+    k = fmt.segs[0]
+    R = fmt.seg_rows(k)
+    for t in [0, 1, R - 1, R, 255]:
+        nz = pruned[t][pruned[t] != 0][:k]
+        got = s0[t % R, (t // R) * k:(t // R) * k + len(nz)]
+        np.testing.assert_array_equal(got, nz)
+
+
+def test_unpack_bitmap_matches_mask():
+    rs = np.random.RandomState(3)
+    pruned = make_pruned(rs)
+    segs, bmp = sf.encode_chunk(jnp.asarray(pruned), FMT)
+    bits = np.asarray(sf.unpack_bitmap(bmp, FMT))
+    # every actual nonzero is marked
+    assert (bits[pruned != 0] == 1).all()
+    assert bits.sum() == FMT.chunk * FMT.keep_stored
 
 
 def test_prune_and_encode_matches_two_step():
-    rs = np.random.RandomState(3)
+    rs = np.random.RandomState(4)
     x = rs.randn(256, 128).astype(np.float32)
-    vals1, bmp1 = sf.prune_and_encode_chunk(jnp.asarray(x), FMT)
-    mask = pruning.magnitude_mask_lastdim(jnp.asarray(x), 1 - 39 / 128, exact=True)
-    # same keep count -> same mask modulo the top-k definition
+    segs1, bmp1 = sf.prune_and_encode_chunk(jnp.asarray(x), FMT)
     pruned = np.where(np.asarray(sf.topk_mask(jnp.asarray(x), 40)), x, 0)
-    vals2, bmp2 = sf.encode_chunk(jnp.asarray(pruned), FMT)
-    np.testing.assert_array_equal(np.asarray(vals1), np.asarray(vals2))
+    segs2, bmp2 = sf.encode_chunk(jnp.asarray(pruned), FMT)
+    for a, b in zip(segs1, segs2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(np.asarray(bmp1), np.asarray(bmp2))
 
 
 def test_compression_ratio():
     assert FMT.compression_ratio > 2.3, FMT.compression_ratio
-    # 50% sparsity keep=65
-    f2 = sf.ChunkFormat(chunk=256, dim=128, keep=65)
+    f2 = sf.ChunkFormat(chunk=256, dim=128, keep=65)   # 50%
     assert 1.7 < f2.compression_ratio < 2.0
 
 
 def test_topk_mask_handles_ties():
-    x = jnp.asarray(np.array([[1.0] * 8]))
+    x = jnp.asarray(np.array([[1.0] * 8 + [0.0] * 120]))
     m = np.asarray(sf.topk_mask(x, 3))
     assert m.sum() == 3 and m[0, :3].all()
+
+
+def test_keep_count_matches_reference_rule():
+    """keep == D - int(s*D) + 1, the reference kthvalue threshold survivor
+    count (llama_mustafar_Kt_Mag_Vt_Mag.py:85-97)."""
+    from mustafar_tpu.config import PruneConfig
+    p = PruneConfig()
+    assert p.kept_per_row(128, 0.7) == 40
+    assert p.kept_per_row(128, 0.5) == 65
+    assert p.kept_per_row(128, 0.0) == 128
