@@ -74,13 +74,27 @@ class DenseKVCache:
 
     # -- decode -----------------------------------------------------------
     def decode_attend(self, lc: dict, q, k, v, pos):
-        """q [B,1,Hq,D], k/v [B,1,Hkv,D]; pos: scalar int32 index of the new token."""
+        """q [B,1,Hq,D], k/v [B,1,Hkv,D]; pos: int32 index of the new token —
+        scalar (uniform batch) or [B] (per-slot, continuous batching)."""
         lc = dict(lc)
-        lc["k"] = jax.lax.dynamic_update_slice_in_dim(lc["k"], k, pos, axis=1)
-        lc["v"] = jax.lax.dynamic_update_slice_in_dim(lc["v"], v, pos, axis=1)
+        B = q.shape[0]
         S = lc["k"].shape[1]
-        kpos = jnp.arange(S)
-        mask = causal_mask(pos[None] if pos.ndim == 0 else pos, kpos, pos + 1, self.window)
+        pos = jnp.asarray(pos)
+        if pos.ndim == 0:
+            lc["k"] = jax.lax.dynamic_update_slice_in_dim(
+                lc["k"], k.astype(lc["k"].dtype), pos, axis=1)
+            lc["v"] = jax.lax.dynamic_update_slice_in_dim(
+                lc["v"], v.astype(lc["v"].dtype), pos, axis=1)
+            kpos = jnp.arange(S)
+            mask = causal_mask(pos[None], kpos, pos + 1, self.window)
+        else:
+            bidx = jnp.arange(B)
+            lc["k"] = lc["k"].at[bidx, pos].set(k[:, 0].astype(lc["k"].dtype))
+            lc["v"] = lc["v"].at[bidx, pos].set(v[:, 0].astype(lc["v"].dtype))
+            kpos = jnp.arange(S)
+            mask = kpos[None, None, :] <= pos[:, None, None]      # [B,1,S]
+            if self.window is not None:
+                mask &= kpos[None, None, :] > (pos[:, None, None] - self.window)
         out, w = mha(q, lc["k"], lc["v"], mask, return_weights=True)
         lc = self.decode_prune(lc, q, w, pos)
         return out, lc
@@ -90,16 +104,26 @@ class DenseKVCache:
 
 
 def _prune_row_at(buf: jnp.ndarray, idx: jnp.ndarray, prune_fn) -> jnp.ndarray:
-    """Apply prune_fn to the single row buf[:, idx] when idx >= 0.
+    """Apply prune_fn to the token row exiting the residual window.
 
-    buf: [B, S, H, D]. idx < 0 is a no-op (achieved by writing the row back
-    unchanged at a clamped index).
+    buf: [B, S, H, D]; idx scalar (uniform) or [B] (per-slot).  idx < 0 is a
+    no-op (achieved by writing the row back unchanged at a clamped index).
     """
+    idx = jnp.asarray(idx)
+    if idx.ndim == 0:
+        cidx = jnp.maximum(idx, 0)
+        row = jax.lax.dynamic_slice_in_dim(buf, cidx, 1, axis=1)   # [B,1,H,D]
+        pruned = prune_fn(row)
+        new_row = jnp.where(idx >= 0, pruned, row)
+        return jax.lax.dynamic_update_slice_in_dim(
+            buf, new_row.astype(buf.dtype), cidx, axis=1)
+    B = buf.shape[0]
+    bidx = jnp.arange(B)
     cidx = jnp.maximum(idx, 0)
-    row = jax.lax.dynamic_slice_in_dim(buf, cidx, 1, axis=1)   # [B,1,H,D]
+    row = buf[bidx, cidx][:, None]                                 # [B,1,H,D]
     pruned = prune_fn(row)
-    new_row = jnp.where(idx >= 0, pruned, row)
-    return jax.lax.dynamic_update_slice_in_dim(buf, new_row.astype(buf.dtype), cidx, axis=1)
+    new_row = jnp.where(idx[:, None, None, None] >= 0, pruned, row)
+    return buf.at[bidx, cidx].set(new_row[:, 0].astype(buf.dtype))
 
 
 def _prune_block_at(buf: jnp.ndarray, start: jnp.ndarray, size: int, do: jnp.ndarray,

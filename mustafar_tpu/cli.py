@@ -1,0 +1,128 @@
+"""Command-line interface.
+
+Replaces the reference's entry scripts (long_test.sh positional args ->
+pred_long_bench.py HfArgumentParser, eval_long_bench.py, mem_spd_test.py
+edit-the-source constants) with subcommands:
+
+  python -m mustafar_tpu predict --model <hf_dir> --mode kt_mag_vt_mag \
+      --k_sparsity 0.7 --v_sparsity 0.7 --datasets qasper narrativeqa
+  python -m mustafar_tpu eval --pred_dir pred/<run>
+  python -m mustafar_tpu bench [--batch 32 --prompt 300 --gen 600]
+
+Pruning variant selection is a flag (the reference requires editing an import,
+pred_long_bench.py:140-150).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_engine_args(p: argparse.ArgumentParser):
+    p.add_argument("--mode", default="kt_mag_vt_mag",
+                   help="pruning variant (PruneMethod value) or 'dense'")
+    p.add_argument("--cache", default=None,
+                   choices=[None, "dense", "masked", "compressed"],
+                   help="cache mode (default: compressed for kt_*_vt_* mag, else masked)")
+    p.add_argument("--k_sparsity", type=float, default=0.5)
+    p.add_argument("--v_sparsity", type=float, default=0.5)
+    p.add_argument("--group_size", type=int, default=32)
+    p.add_argument("--residual_length", type=int, default=32)
+    p.add_argument("--max_seq_len", type=int, default=4608)
+    p.add_argument("--dtype", default="bfloat16")
+
+
+def _build_engine(args, model_cfg):
+    from mustafar_tpu.config import CacheMode, EngineConfig, PruneConfig, PruneMethod
+
+    method = PruneMethod(args.mode)
+    if args.cache is not None:
+        cache_mode = CacheMode(args.cache)
+    elif method == PruneMethod.DENSE:
+        cache_mode = CacheMode.DENSE
+    elif method.k_policy == "token_mag" and method.v_policy == "token_mag":
+        cache_mode = CacheMode.COMPRESSED
+    else:
+        cache_mode = CacheMode.MASKED
+    prune = PruneConfig(method=method, k_sparsity=args.k_sparsity,
+                        v_sparsity=args.v_sparsity, group_size=args.group_size,
+                        residual_length=args.residual_length)
+    return EngineConfig(model=model_cfg, prune=prune, cache_mode=cache_mode,
+                        max_seq_len=args.max_seq_len)
+
+
+def cmd_predict(args):
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+
+    from mustafar_tpu.harness import configs
+    from mustafar_tpu.harness.longbench import (PredictConfig, load_longbench_rows,
+                                                predict_dataset)
+    from mustafar_tpu.models.weights import load_hf_dir
+    from mustafar_tpu.runtime.generate import Generator
+
+    cfg, params = load_hf_dir(args.model, dtype=jnp.bfloat16)
+    tokenizer = AutoTokenizer.from_pretrained(args.model)
+    eng = _build_engine(args, cfg)
+    gen = Generator(eng, params)
+
+    model_name = os.path.basename(args.model.rstrip("/"))
+    max_length = args.max_length or configs.model_max_len(model_name)
+    run = f"{model_name}_{max_length}_K_{args.k_sparsity}_V_{args.v_sparsity}"
+    out_dir = os.path.join(args.out_root, run)
+    pc = PredictConfig(model_name=model_name, max_length=max_length,
+                       out_dir=out_dir)
+    datasets = args.datasets or configs.DATASETS_EN
+    for ds in datasets:
+        rows = load_longbench_rows(ds, data_dir=args.data_dir, e_split=args.e)
+        if args.limit:
+            rows = rows[: args.limit]
+        predict_dataset(gen, tokenizer, ds, rows, pc,
+                        eos_id=tokenizer.eos_token_id)
+    print(f"predictions written to {out_dir}")
+
+
+def cmd_eval(args):
+    from mustafar_tpu.harness.longbench import evaluate_dir
+
+    scores = evaluate_dir(args.pred_dir, e_buckets=args.e)
+    print(json.dumps(scores, indent=2, ensure_ascii=False))
+
+
+def cmd_bench(args):
+    import bench  # repo-root bench.py
+    bench.main()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="mustafar_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("predict", help="LongBench prediction run")
+    p.add_argument("--model", required=True, help="local HF checkpoint dir")
+    p.add_argument("--datasets", nargs="*", default=None)
+    p.add_argument("--data_dir", default=None, help="dir of <task>.jsonl files")
+    p.add_argument("--out_root", default="pred")
+    p.add_argument("--max_length", type=int, default=None)
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--e", action="store_true", help="LongBench-E split")
+    _add_engine_args(p)
+    p.set_defaults(fn=cmd_predict)
+
+    p = sub.add_parser("eval", help="score a prediction directory")
+    p.add_argument("--pred_dir", required=True)
+    p.add_argument("--e", action="store_true")
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("bench", help="decode latency/memory benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -117,6 +117,8 @@ def prefill(cfg: ModelConfig, params, tokens, cache, cache_impl, true_len):
 
 
 def decode_step(cfg: ModelConfig, params, token, cache, cache_impl, pos):
-    """token [B, 1]; pos scalar int32 = index of this token."""
-    positions = pos[None] if pos.ndim == 0 else pos
+    """token [B, 1]; pos int32 — scalar (uniform) or [B] (per-slot) index of
+    this token."""
+    pos = jnp.asarray(pos)
+    positions = pos[None] if pos.ndim == 0 else pos[:, None]   # [1] or [B,1]
     return forward(cfg, params, token, cache, cache_impl, positions, "decode", pos)

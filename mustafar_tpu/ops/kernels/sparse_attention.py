@@ -49,32 +49,41 @@ def _expand_chunk(seg_refs, bmp, fmt: ChunkFormat, out_dtype=jnp.bfloat16):
 
     seg_refs: loaded segment blocks, list of [R_i, 128] arrays.
     bmp: [P, D] uint32 word planes.
+
+    Stage-count-minimized (each materialized [C,D] op costs ~VMEM-bandwidth):
+    bit test via AND with a compile-time mask array (no variable shifts),
+    inclusive rank from one MXU triangular matmul, per-segment gather with
+    *no* clips — TPU dynamic-gather wraps indices mod 128 (measured), and any
+    wrapped garbage is zeroed by the final bits multiply.
     """
     C, D, P = fmt.chunk, fmt.dim, fmt.planes
     words = jnp.concatenate([bmp] * (C // P), axis=0)              # [C, D]
-    tdiv = jax.lax.broadcasted_iota(jnp.uint32, (C, D), 0) // jnp.uint32(P)
-    bits_i = ((words >> tdiv) & jnp.uint32(1)).astype(jnp.int32)
-    bits = bits_i.astype(jnp.bfloat16)
+    bitsel = (jnp.uint32(1) << (jax.lax.broadcasted_iota(jnp.uint32, (C, D), 0)
+                                // jnp.uint32(P)))                 # const
+    bits = ((words & bitsel) > 0).astype(jnp.bfloat16)             # [C, D]
     tri = (jax.lax.broadcasted_iota(jnp.int32, (D, D), 0) <=
            jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)).astype(jnp.bfloat16)
     # inclusive prefix-sum along lanes on the MXU (cumsum is not lowerable);
-    # exact in bf16 -> f32 for counts <= 256.
+    # exact in bf16 -> f32 for counts <= 256.  rank is 1-based at set bits.
     rank = jax.lax.dot_general(bits, tri, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
-    rank = rank.astype(jnp.int32) - 1                               # [C, D]
-    dense = jnp.zeros((C, D), jnp.float32)
-    base = 0
+    rank_i = rank.astype(jnp.int32)
+    gs, bounds = [], []
+    base = 1                                                       # 1-based
     for seg, k in zip(seg_refs, fmt.segs):
         R = fmt.seg_rows(k)
         rpt = C // R
         tbl = jnp.concatenate([seg.astype(jnp.float32)] * rpt, axis=0)  # [C,128]
         toff = jax.lax.broadcasted_iota(jnp.int32, (C, D), 0) // R
-        idx = toff * k + jnp.clip(rank - base, 0, k - 1)
-        g = jnp.take_along_axis(tbl, idx, axis=-1)
-        use = (rank >= base) & (rank < base + k) & (bits_i > 0)
-        dense = jnp.where(use, g, dense)
+        idx = rank_i + (toff * k - base)                           # const folds
+        gs.append(jnp.take_along_axis(tbl, idx, axis=-1))
+        bounds.append(base + k)
         base += k
-    return dense.astype(out_dtype)
+    if len(gs) == 1:
+        dense = gs[0]
+    else:
+        dense = jnp.where(rank_i < bounds[0], gs[0], gs[1])
+    return (dense.astype(out_dtype) * bits.astype(out_dtype))
 
 
 # ---------------------------------------------------------------------------

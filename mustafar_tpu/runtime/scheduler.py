@@ -1,0 +1,206 @@
+"""Continuous-batching decode scheduler (slot-based, single host).
+
+New capability vs the reference, whose only batching is a static batch of
+identical prompts through HF generate (mem_spd_test.py:66-78; SURVEY.md §2.6).
+Design:
+
+  * a fixed pool of B slots; the KV cache is preallocated for B sequences;
+  * per-request prefill runs on a batch-1 jitted program and the resulting
+    layer caches are inserted into the slot (dynamic_update_slice on the
+    batch axis) — no recompilation per request thanks to prompt bucketing;
+  * one jitted decode step advances every active slot (inactive slots are
+    masked); finished sequences free their slot for the next request;
+  * per-slot positions: attention masks, cache writes and the
+    prune-on-window-exit rule are all vectorized over slots at different
+    sequence lengths.
+
+Works with the dense and masked cache modes (per-slot compressed pools need
+per-slot chunk counts in the Pallas kernels — tracked for the next round).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mustafar_tpu.cache import make_cache
+from mustafar_tpu.config import CacheMode, EngineConfig
+from mustafar_tpu.models import llama
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    tokens: np.ndarray           # prompt token ids [T]
+    max_new_tokens: int
+    out: list = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+class ContinuousBatchingEngine:
+    """FCFS slot scheduler over a jitted batched decode step."""
+
+    def __init__(self, engine: EngineConfig, params, dtype=jnp.bfloat16,
+                 eos_id: Optional[int] = None, use_native: bool = True):
+        assert engine.cache_mode in (CacheMode.DENSE, CacheMode.MASKED), (
+            "continuous batching currently supports dense/masked caches")
+        self.engine = engine
+        self.cfg = engine.model
+        self.params = params
+        self.dtype = dtype
+        self.eos_id = eos_id
+        self.B = engine.batch_size
+        self.impl = make_cache(engine)
+        self.cache = self.impl.init(self.B, dtype)
+        # host-side slot state (bookkeeping mirrored in the native C++ core
+        # when available — mustafar_tpu/native/scheduler.cpp)
+        self.native = None
+        if use_native:
+            try:
+                from mustafar_tpu.native import NativeSlotScheduler
+                self.native = NativeSlotScheduler(self.B, engine.max_seq_len)
+            except Exception:
+                self.native = None
+        self.slot_req: list[Optional[Request]] = [None] * self.B
+        self.slot_pos = np.zeros(self.B, np.int32)      # next write index
+        self.slot_budget = np.zeros(self.B, np.int32)
+        self.slot_last = np.zeros(self.B, np.int32)
+        self.queue: deque[Request] = deque()
+        self.requests: dict[int, Request] = {}
+        self.finished: dict[int, Request] = {}
+        self._prefill_fns = {}
+        self._decode_fn = None
+        self._uid = 0
+
+    # -- public API -------------------------------------------------------
+    def submit(self, tokens, max_new_tokens: int) -> int:
+        self._uid += 1
+        req = Request(self._uid, np.asarray(tokens, np.int32), max_new_tokens)
+        self.requests[self._uid] = req
+        if self.native is not None:
+            if not self.native.submit(self._uid, len(req.tokens), max_new_tokens):
+                raise ValueError(
+                    f"request {self._uid} exceeds max_seq_len "
+                    f"{self.engine.max_seq_len}")
+        self.queue.append(req)
+        return self._uid
+
+    def run(self, max_steps: int = 100000) -> dict[int, np.ndarray]:
+        """Drain the queue; returns {uid: generated token ids}."""
+        steps = 0
+        while (self.queue or any(r is not None for r in self.slot_req)) \
+                and steps < max_steps:
+            self._fill_slots()
+            self._decode_step()
+            steps += 1
+        return {uid: np.asarray(r.out) for uid, r in self.finished.items()}
+
+    @property
+    def active_mask(self) -> np.ndarray:
+        return np.array([r is not None for r in self.slot_req])
+
+    # -- internals --------------------------------------------------------
+    def _bucket(self, n: int) -> int:
+        b = self.engine.prefill_bucket
+        return max(b, (n + b - 1) // b * b)
+
+    def _prefill_into_slot(self, req: Request, slot: int):
+        T = len(req.tokens)
+        Tpad = self._bucket(T)
+        assert T + req.max_new_tokens <= self.engine.max_seq_len, req.uid
+        key = Tpad
+        if key not in self._prefill_fns:
+            impl = self.impl
+
+            def prefill_one(params, toks, true_len, cache, slot_idx):
+                sub = impl.init(1, self.dtype)
+                logits, sub = llama.prefill(self.cfg, params, toks, sub,
+                                            impl, true_len)
+                nxt = jnp.argmax(
+                    jax.lax.dynamic_index_in_dim(logits, true_len - 1, 1, False),
+                    axis=-1).astype(jnp.int32)          # [1]
+                cache = jax.tree.map(
+                    lambda full, one: jax.lax.dynamic_update_slice_in_dim(
+                        full, one.astype(full.dtype), slot_idx, axis=1)
+                    if one.ndim > 1 else full,
+                    cache, sub)
+                return nxt[0], cache
+
+            self._prefill_fns[key] = jax.jit(prefill_one)
+        toks = jnp.asarray(np.pad(req.tokens, (0, Tpad - T))[None], jnp.int32)
+        nxt, self.cache = self._prefill_fns[key](
+            self.params, toks, jnp.int32(T), self.cache, jnp.int32(slot))
+        nxt = int(nxt)
+        self.slot_req[slot] = req
+        self.slot_pos[slot] = T + 1
+        self.slot_budget[slot] = req.max_new_tokens - 1
+        self.slot_last[slot] = nxt
+        req.out.append(nxt)
+        is_eos = self.eos_id is not None and nxt == self.eos_id
+        if self.native is not None:
+            if self.native.commit(slot, is_eos) == 1:
+                self._retire(slot)
+        elif is_eos or req.max_new_tokens == 1:
+            self._retire(slot)
+
+    def _fill_slots(self):
+        if self.native is not None:
+            for slot, uid, _, _ in self.native.fill():
+                req = self.requests[uid]
+                self.queue.remove(req)
+                self._prefill_into_slot(req, slot)
+            return
+        for slot in range(self.B):
+            if self.slot_req[slot] is None and self.queue:
+                self._prefill_into_slot(self.queue.popleft(), slot)
+
+    def _decode_step(self):
+        active = self.active_mask
+        if not active.any():
+            return
+        if self._decode_fn is None:
+            impl = self.impl
+
+            def step(params, cache, last, pos, active):
+                tok = last[:, None]
+                logits, cache = llama.decode_step(self.cfg, params, tok, cache,
+                                                  impl, pos - 1)
+                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                nxt = jnp.where(active, nxt, last)
+                return nxt, cache
+
+            self._decode_fn = jax.jit(step)
+        nxt, self.cache = self._decode_fn(
+            self.params, self.cache, jnp.asarray(self.slot_last),
+            jnp.asarray(self.slot_pos), jnp.asarray(active))
+        nxt = np.asarray(nxt)
+        for slot in range(self.B):
+            if self.slot_req[slot] is None:
+                continue
+            tok = int(nxt[slot])
+            req = self.slot_req[slot]
+            req.out.append(tok)
+            self.slot_last[slot] = tok
+            self.slot_pos[slot] += 1
+            self.slot_budget[slot] -= 1
+            is_eos = self.eos_id is not None and tok == self.eos_id
+            if self.native is not None:
+                if self.native.commit(slot, is_eos) == 1:
+                    self._retire(slot)
+            elif is_eos or self.slot_budget[slot] <= 0 \
+                    or self.slot_pos[slot] >= self.engine.max_seq_len:
+                self._retire(slot)
+
+    def _retire(self, slot: int):
+        req = self.slot_req[slot]
+        if self.eos_id is not None and req.out and req.out[-1] == self.eos_id:
+            req.out.pop()
+        req.done = True
+        self.finished[req.uid] = req
+        self.slot_req[slot] = None
+        self.slot_pos[slot] = 0
