@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from mustafar_tpu.config import EngineConfig
 from mustafar_tpu.ops import sparse_format as sf
-from mustafar_tpu.ops.attention import causal_mask, mha, NEG_INF
+from mustafar_tpu.ops.attention import causal_mask, mha, prefill_attention, NEG_INF
 
 
 class CompressedKVCache:
@@ -125,9 +125,7 @@ class CompressedKVCache:
     # -- prefill ----------------------------------------------------------
     def prefill_attend(self, lc, q, k, v, true_len):
         B, T, Hq, D = q.shape
-        pos = jnp.arange(T)
-        mask = causal_mask(pos, pos, true_len, None)
-        out = mha(q, k, v, mask)
+        out = prefill_attention(q, k, v, true_len, None)
 
         C, r = self.C, self.r
         comp_len = jnp.maximum(true_len - r, 0) // C * C       # reference :416

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from mustafar_tpu.config import EngineConfig, PruneMethod
 from mustafar_tpu.ops import pruning
-from mustafar_tpu.ops.attention import causal_mask, mha
+from mustafar_tpu.ops.attention import causal_mask, mha, prefill_attention
 
 
 class DenseKVCache:
@@ -59,10 +59,7 @@ class DenseKVCache:
 
         Returns (out [B,T,Hq,D], updated layer cache).
         """
-        T = q.shape[1]
-        pos = jnp.arange(T)
-        mask = causal_mask(pos, pos, true_len, self.window)
-        out = mha(q, k, v, mask)
+        out = prefill_attention(q, k, v, true_len, self.window)
         k_store, v_store = self.prefill_prune(q, k, v, out, true_len)
         lc = dict(lc)
         lc["k"] = jax.lax.dynamic_update_slice_in_dim(lc["k"], k_store, 0, axis=1)

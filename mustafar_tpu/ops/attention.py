@@ -16,6 +16,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NEG_INF = -1e30
 
@@ -33,6 +34,34 @@ def causal_mask(q_pos: jnp.ndarray, k_pos: jnp.ndarray, valid_len: jnp.ndarray,
     if window is not None:
         m &= k_pos[None, :] > (q_pos[:, None] - window)
     return m
+
+
+def prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                      true_len, window=None) -> jnp.ndarray:
+    """Causal prefill attention, flash kernel on TPU (reference uses
+    flash-attn for prefill, llama_mustafar_Kt_Mag_Vt_Mag.py:1034-1037).
+
+    q [B,T,Hq,D], k/v [B,T,Hkv,D] -> out [B,T,Hq,D].  Rows >= true_len
+    produce garbage that callers never read (their cache rows are overwritten
+    by decode).  Falls back to masked XLA attention off-TPU or with a sliding
+    window.
+    """
+    B, T, Hq, D = q.shape
+    Hkv = k.shape[2]
+    use_flash = (jax.default_backend() == "tpu" and window is None
+                 and T >= 128 and D % 128 == 0)
+    if use_flash:
+        from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+        G = Hq // Hkv
+        kx = jnp.repeat(k, G, axis=2) if G > 1 else k
+        vx = jnp.repeat(v, G, axis=2) if G > 1 else v
+        out = flash_attention(
+            jnp.swapaxes(q, 1, 2), jnp.swapaxes(kx, 1, 2), jnp.swapaxes(vx, 1, 2),
+            causal=True, sm_scale=float(1.0 / np.sqrt(D)))
+        return jnp.swapaxes(out, 1, 2).astype(q.dtype)
+    pos = jnp.arange(T)
+    mask = causal_mask(pos, pos, true_len, window)
+    return mha(q, k, v, mask)
 
 
 def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, mask: jnp.ndarray,

@@ -1,0 +1,86 @@
+"""Sharding tests on the 8-virtual-device CPU mesh (SURVEY.md §4 layer (f)).
+
+Validates that dp x tp sharded execution produces the same logits as
+single-device execution, and that the graft entry's multichip dryrun runs.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mustafar_tpu.config import (CacheMode, EngineConfig, ModelConfig,
+                                 PruneConfig, PruneMethod)
+from mustafar_tpu.cache import make_cache
+from mustafar_tpu.models import llama
+from mustafar_tpu.models.llama import init_params
+from mustafar_tpu.parallel import sharding as sh
+
+CFG = ModelConfig(name="shard-test", vocab_size=256, hidden_size=128,
+                  intermediate_size=256, num_layers=2, num_heads=4,
+                  num_kv_heads=2, head_dim=32, max_position_embeddings=512)
+
+
+def _run(eng, params, cache, tokens, mesh=None):
+    impl = make_cache(eng)
+
+    def fn(params, tokens, cache):
+        logits, cache = llama.prefill(CFG, params, tokens, cache, impl,
+                                      jnp.int32(tokens.shape[1]))
+        tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
+        logits2, cache = llama.decode_step(CFG, params, tok, cache, impl,
+                                           jnp.int32(tokens.shape[1]))
+        return logits[:, -1], logits2[:, 0]
+
+    return jax.jit(fn)(params, tokens, cache)
+
+
+def test_tp_dp_matches_single_device():
+    assert len(jax.devices()) >= 8
+    eng = EngineConfig(model=CFG, cache_mode=CacheMode.MASKED,
+                       prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                                         k_sparsity=0.5, v_sparsity=0.5),
+                       max_seq_len=128)
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    impl = make_cache(eng)
+    B = 4
+    tokens = jnp.asarray(np.random.RandomState(0).randint(0, 256, (B, 64)))
+
+    ref1, ref2 = _run(eng, params, impl.init(B, jnp.float32), tokens)
+
+    mesh = sh.make_mesh(dp=4, tp=2)
+    pspecs = sh.filter_specs_for(params, sh.param_specs(CFG))
+    params_s = sh.shard_pytree(params, pspecs, mesh)
+    cache = impl.init(B, jnp.float32)
+    cache_s = sh.shard_pytree(cache, sh.cache_specs(eng, cache), mesh)
+    tokens_s = jax.device_put(tokens, NamedSharding(mesh, P("data", None)))
+    got1, got2 = _run(eng, params_s, cache_s, tokens_s, mesh)
+
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), rtol=2e-4, atol=2e-4)
+
+
+def test_compressed_cache_specs_cover_state():
+    eng = EngineConfig(model=CFG, cache_mode=CacheMode.COMPRESSED,
+                       prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                                         k_sparsity=0.7, v_sparsity=0.7),
+                       max_seq_len=544, chunk_size=256)
+    impl = make_cache(eng)
+    cache = impl.init(2, jnp.float32)
+    specs = sh.cache_specs(eng, cache)
+    assert set(specs) == set(cache)
+    mesh = sh.make_mesh(dp=2, tp=2)
+    shc = sh.shard_pytree(cache, specs, mesh)
+    assert shc["k_vals0"].sharding.spec[1] == ("data", "model")
+
+
+def test_graft_dryrun():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "/root/repo/__graft_entry__.py")
+    g = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(g)
+    fn, args = g.entry()
+    out, _ = jax.jit(fn)(*args)
+    assert out.shape == (2,)
+    g.dryrun_multichip(8)
