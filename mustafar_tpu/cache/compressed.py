@@ -7,8 +7,10 @@ re-offset every 256 generated tokens (:324-398, with host syncs).  Here the
 state is a fixed set of static-shape arrays threaded through the jitted step
 (layouts derived in ops/sparse_format.py):
 
-  k_vals{s} [B*Hkv, max_chunks * R_s, 128] bf16    interleaved value segments
-  k_bmp     [B*Hkv, max_chunks * C/32, D] uint32   interleaved bitmap planes
+  k_vals{s} [max_chunks, B*Hkv, R_s, 128] bf16    interleaved value segments
+  k_bmp     [max_chunks, B*Hkv, C/32, D]  uint32   interleaved bitmap planes
+  (chunk-major so the fused kernel fetches one chunk for a whole head group
+  with a single DMA — see ops/kernels/sparse_attention.py v3)
   v_vals{s} / v_bmp                                (value stream)
   k_win / v_win [B, Wcap, Hkv, D]         bf16     dense window, Wcap = r + C
   n_chunks      int32                              active chunks (uniform)
@@ -69,13 +71,13 @@ class CompressedKVCache:
             "k_win": jnp.zeros((m.num_layers, batch, self.wcap, m.num_kv_heads, m.head_dim), dtype),
             "v_win": jnp.zeros((m.num_layers, batch, self.wcap, m.num_kv_heads, m.head_dim), dtype),
             "n_chunks": jnp.zeros((m.num_layers,), jnp.int32),
-            "k_bmp": jnp.zeros((m.num_layers, BH, mc * self.kfmt.planes, m.head_dim), jnp.uint32),
-            "v_bmp": jnp.zeros((m.num_layers, BH, mc * self.vfmt.planes, m.head_dim), jnp.uint32),
+            "k_bmp": jnp.zeros((m.num_layers, mc, BH, self.kfmt.planes, m.head_dim), jnp.uint32),
+            "v_bmp": jnp.zeros((m.num_layers, mc, BH, self.vfmt.planes, m.head_dim), jnp.uint32),
         }
         for si, k in enumerate(self.kfmt.segs):
-            st[f"k_vals{si}"] = jnp.zeros((m.num_layers, BH, mc * self.kfmt.seg_rows(k), 128), dtype)
+            st[f"k_vals{si}"] = jnp.zeros((m.num_layers, mc, BH, self.kfmt.seg_rows(k), 128), dtype)
         for si, k in enumerate(self.vfmt.segs):
-            st[f"v_vals{si}"] = jnp.zeros((m.num_layers, BH, mc * self.vfmt.seg_rows(k), 128), dtype)
+            st[f"v_vals{si}"] = jnp.zeros((m.num_layers, mc, BH, self.vfmt.seg_rows(k), 128), dtype)
         return st
 
     def _ksegs(self, lc):
@@ -95,31 +97,28 @@ class CompressedKVCache:
         """Prune+pack one dense chunk ([B, C, Hkv, D]) into pool slot chunk_idx."""
         ksegs, kbmp = self._pack_chunk(k_chunk, self.kfmt)
         vsegs, vbmp = self._pack_chunk(v_chunk, self.vfmt)
-        for si, (seg, k) in enumerate(zip(ksegs, self.kfmt.segs)):
-            R = self.kfmt.seg_rows(k)
+        for si, seg in enumerate(ksegs):
             lc[f"k_vals{si}"] = jax.lax.dynamic_update_slice(
-                lc[f"k_vals{si}"], seg.astype(lc[f"k_vals{si}"].dtype),
-                (0, chunk_idx * R, 0))
+                lc[f"k_vals{si}"], seg.astype(lc[f"k_vals{si}"].dtype)[None],
+                (chunk_idx, 0, 0, 0))
         lc["k_bmp"] = jax.lax.dynamic_update_slice(
-            lc["k_bmp"], kbmp, (0, chunk_idx * self.kfmt.planes, 0))
-        for si, (seg, k) in enumerate(zip(vsegs, self.vfmt.segs)):
-            R = self.vfmt.seg_rows(k)
+            lc["k_bmp"], kbmp[None], (chunk_idx, 0, 0, 0))
+        for si, seg in enumerate(vsegs):
             lc[f"v_vals{si}"] = jax.lax.dynamic_update_slice(
-                lc[f"v_vals{si}"], seg.astype(lc[f"v_vals{si}"].dtype),
-                (0, chunk_idx * R, 0))
+                lc[f"v_vals{si}"], seg.astype(lc[f"v_vals{si}"].dtype)[None],
+                (chunk_idx, 0, 0, 0))
         lc["v_bmp"] = jax.lax.dynamic_update_slice(
-            lc["v_bmp"], vbmp, (0, chunk_idx * self.vfmt.planes, 0))
+            lc["v_bmp"], vbmp[None], (chunk_idx, 0, 0, 0))
         return lc
 
     def _decode_pool(self, segs, bmp, fmt, batch):
-        """Decompress the whole pool to dense [B, Hkv, max_chunks*C, D] (XLA path)."""
-        BH = bmp.shape[0]
-        mc = self.max_chunks
-        segs_c = [s.reshape(BH, mc, fmt.seg_rows(k), 128)
-                  for s, k in zip(segs, fmt.segs)]
-        b = bmp.reshape(BH, mc, fmt.planes, fmt.dim)
-        dense = sf.decode_chunk(segs_c, b, fmt)                # [BH, mc, C, D]
+        """Decompress the whole pool to dense [B, Hkv, max_chunks*C, D] (XLA path).
+
+        Pools are chunk-major [mc, BH, ., .]."""
+        mc, BH = bmp.shape[0], bmp.shape[1]
+        dense = sf.decode_chunk(list(segs), bmp, fmt)          # [mc, BH, C, D]
         H = self.model.num_kv_heads
+        dense = jnp.swapaxes(dense, 0, 1).reshape(BH, mc * fmt.chunk, fmt.dim)
         return dense.reshape(batch, H, mc * fmt.chunk, fmt.dim)
 
     # -- prefill ----------------------------------------------------------
@@ -173,7 +172,7 @@ class CompressedKVCache:
 
         if self.use_pallas:
             from mustafar_tpu.ops.kernels import sparse_attention as ska
-            out = ska.fused_sparse_decode_attention(
+            out = ska.fused_sparse_decode_attention_v3(
                 q, self._ksegs(lc), lc["k_bmp"], self._vsegs(lc), lc["v_bmp"],
                 lc["k_win"], lc["v_win"], n_chunks, win_len,
                 self.kfmt, self.vfmt, self.max_chunks)

@@ -406,3 +406,164 @@ def fused_sparse_decode_attention(q, k_segs, k_bmp, v_segs, v_bmp, k_win, v_win,
         interpret=_interpret(),
     )(scalars, *ks3, k_bmp, *vs3, v_bmp, qb, kw, vw)
     return out[:, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused decode kernel v3: manual double-buffered chunk pipeline.
+#
+# The grid-per-chunk variant above pays a fixed pipeline cost per grid step
+# (~us with 9 block specs), which dominates at decode shapes (measured: a
+# no-op expansion still costs ~1.3 ms at B=32).  v3 collapses the grid to one
+# step per head-group and streams chunks with explicit async copies — the
+# direct analogue of the reference CUDA kernel's double-buffered cp.async
+# main loop (SpMM_Kernel.cuh:318-379), with a *dynamic* trip count (n_chunks
+# is data, not grid).
+#
+# Pool layout for v3 is chunk-major: [max_chunks, BH, R, 128] so one DMA
+# fetches a chunk for all HPB heads of the step.
+# ---------------------------------------------------------------------------
+
+def _fused_v3_kernel(scalars_ref, *refs, kfmt: ChunkFormat, vfmt: ChunkFormat,
+                     hpb: int, scale: float):
+    nk, nv = len(kfmt.segs), len(vfmt.segs)
+    nbuf = nk + nv + 2
+    hbm = refs[:nbuf]                       # kseg*, kbmp, vseg*, vbmp (HBM)
+    (q_ref, kw_ref, vw_ref, out_ref) = refs[nbuf:nbuf + 4]
+    scratch = refs[nbuf + 4:]
+    bufs = scratch[:nbuf]                   # VMEM (2, hpb, ., .)
+    (sems, m_ref, l_ref, acc_ref) = scratch[nbuf:]
+
+    nc = scalars_ref[0]
+    win_len = scalars_ref[1]
+    b = pl.program_id(0)
+    h0 = b * hpb
+    G8, D, C = q_ref.shape[1], kfmt.dim, kfmt.chunk
+
+    def start_fetch(slot, ci):
+        for j in range(nbuf):
+            pltpu.make_async_copy(
+                hbm[j].at[ci, pl.ds(h0, hpb)], bufs[j].at[slot],
+                sems.at[slot, j]).start()
+
+    def wait_fetch(slot, ci):
+        for j in range(nbuf):
+            pltpu.make_async_copy(
+                hbm[j].at[ci, pl.ds(h0, hpb)], bufs[j].at[slot],
+                sems.at[slot, j]).wait()
+
+    m_ref[:] = jnp.full(m_ref.shape, -1e30, jnp.float32)
+    l_ref[:] = jnp.zeros(l_ref.shape, jnp.float32)
+    acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    @pl.when(nc > 0)
+    def _():
+        start_fetch(0, 0)
+
+    def online_update(h, s, vmat):
+        m_old = m_ref[h]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new[:, :1])
+        corr = jnp.exp(m_old - m_new)
+        l_ref[h] = l_ref[h] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[h] = acc_ref[h] * corr[:, :D] + jax.lax.dot_general(
+            p.astype(jnp.bfloat16), vmat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[h] = m_new
+
+    def chunk_body(ci, _):
+        slot = ci % 2
+
+        @pl.when(ci + 1 < nc)
+        def _():
+            start_fetch((ci + 1) % 2, ci + 1)
+
+        wait_fetch(slot, ci)
+        for h in range(hpb):
+            kd = _expand_chunk([bufs[j][slot, h] for j in range(nk)],
+                               bufs[nk][slot, h], kfmt)
+            vd = _expand_chunk([bufs[nk + 1 + j][slot, h] for j in range(nv)],
+                               bufs[nk + 1 + nv][slot, h], vfmt)
+            s = jax.lax.dot_general(q_ref[h], kd, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            online_update(h, s, vd)
+        return 0
+
+    jax.lax.fori_loop(0, nc, chunk_body, 0)
+
+    # dense residual window
+    W = kw_ref.shape[1]
+    wmask = (jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) < win_len)
+    for h in range(hpb):
+        s = jax.lax.dot_general(q_ref[h], kw_ref[h], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(wmask, s, -1e30)
+        online_update(h, s, vw_ref[h])
+    out_ref[:] = acc_ref[:] / l_ref[:, :, :1]
+
+
+def fused_sparse_decode_attention_v3(q, k_segs, k_bmp, v_segs, v_bmp, k_win,
+                                     v_win, n_chunks, win_len,
+                                     kfmt: ChunkFormat, vfmt: ChunkFormat,
+                                     max_chunks: int, hpb: int = 8):
+    """v3 fused decode attention over chunk-major pools.
+
+    q [B,1,Hq,D]; k_segs[i] [mc, BH, R_i, 128]; k_bmp [mc, BH, P, D];
+    k_win/v_win [B, W, Hkv, D]; n_chunks/win_len int32 scalars.
+    """
+    B, _, Hq, D = q.shape
+    W = k_win.shape[1]
+    Hkv = k_win.shape[2]
+    G = Hq // Hkv
+    G8 = max(8, G)
+    BH = B * Hkv
+    hpb = min(hpb, BH)
+    while BH % hpb:
+        hpb //= 2
+    NB = BH // hpb
+
+    qg = q[:, 0].reshape(B, Hkv, G, D)
+    qpad = jnp.pad(qg.reshape(BH, G, D), ((0, 0), (0, G8 - G), (0, 0)))
+    qb = qpad.astype(jnp.bfloat16)
+    kw = jnp.transpose(k_win, (0, 2, 1, 3)).reshape(BH, W, D).astype(jnp.bfloat16)
+    vw = jnp.transpose(v_win, (0, 2, 1, 3)).reshape(BH, W, D).astype(jnp.bfloat16)
+
+    scalars = jnp.stack([n_chunks.astype(jnp.int32), win_len.astype(jnp.int32)])
+    fixed = lambda shape: pl.BlockSpec(shape, lambda b, sref: (b, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+
+    in_specs = ([hbm_spec] * (len(kfmt.segs) + 1 + len(vfmt.segs) + 1)
+                + [fixed((hpb, G8, D)), fixed((hpb, W, D)), fixed((hpb, W, D))])
+
+    vdtype = k_segs[0].dtype
+    scratch_shapes = []
+    for k in kfmt.segs:
+        scratch_shapes.append(pltpu.VMEM((2, hpb, kfmt.seg_rows(k), 128), vdtype))
+    scratch_shapes.append(pltpu.VMEM((2, hpb, kfmt.planes, D), jnp.uint32))
+    for k in vfmt.segs:
+        scratch_shapes.append(pltpu.VMEM((2, hpb, vfmt.seg_rows(k), 128), vdtype))
+    scratch_shapes.append(pltpu.VMEM((2, hpb, vfmt.planes, D), jnp.uint32))
+    nbuf = len(scratch_shapes)
+    scratch_shapes += [
+        pltpu.SemaphoreType.DMA((2, nbuf)),
+        pltpu.VMEM((hpb, G8, 128), jnp.float32),
+        pltpu.VMEM((hpb, G8, 128), jnp.float32),
+        pltpu.VMEM((hpb, G8, D), jnp.float32),
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NB,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((hpb, G8, D), lambda b, sref: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch_shapes,
+    )
+    out = pl.pallas_call(
+        functools.partial(_fused_v3_kernel, kfmt=kfmt, vfmt=vfmt, hpb=hpb,
+                          scale=float(1.0 / np.sqrt(D))),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BH, G8, D), jnp.float32),
+        interpret=_interpret(),
+    )(scalars, *k_segs, k_bmp, *v_segs, v_bmp, qb, kw, vw)
+    return out[:, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)

@@ -69,7 +69,9 @@ def cache_specs(engine: EngineConfig, cache_state: dict) -> dict:
         elif key in ("k", "v", "k_win", "v_win", "k_score", "v_score"):
             specs[key] = P(None, "data", None, "model", None)
         elif key.startswith(("k_vals", "v_vals")) or key.endswith("_bmp"):
-            specs[key] = P(None, ("data", "model"), *([None] * (val.ndim - 2)))
+            # chunk-major pools [L, mc, B*Hkv, ., .] — joint head dim at axis 2
+            specs[key] = P(None, None, ("data", "model"),
+                           *([None] * (val.ndim - 3)))
         else:
             raise ValueError(key)
     return specs

@@ -163,3 +163,67 @@ def test_fused_decode_attention_zero_chunks():
     wts = np.asarray(jax.nn.softmax(jnp.asarray(lg), -1))
     want = np.einsum("bhgs,bhsd->bhgd", wts, vv).reshape(B, 1, Hq, D)
     np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def _to_chunk_major(segs, bmp, fmt, mc):
+    """[BH, mc*R, 128] -> [mc, BH, R, 128]; bmp likewise."""
+    BH = bmp.shape[0]
+    segs_cm = [jnp.swapaxes(s.reshape(BH, mc, fmt.seg_rows(k), 128), 0, 1)
+               for s, k in zip(segs, fmt.segs)]
+    bmp_cm = jnp.swapaxes(bmp.reshape(BH, mc, fmt.planes, fmt.dim), 0, 1)
+    return segs_cm, bmp_cm
+
+
+def test_fused_v3_matches_v2():
+    rs = np.random.RandomState(7)
+    B, Hkv, G = 2, 2, 4
+    Hq = Hkv * G
+    mc, nact = 3, 2
+    C, D = FMT.chunk, FMT.dim
+    W, win_len = 288, 90
+
+    _, k_segs, k_bmp = make_case(rs, B, Hkv, G, nact, mc, W, win_len)
+    _, v_segs, v_bmp = make_case(rs, B, Hkv, G, nact, mc, W, win_len)
+    k_win = rs.randn(B, W, Hkv, D).astype(np.float32); k_win[:, win_len:] = 0
+    v_win = rs.randn(B, W, Hkv, D).astype(np.float32); v_win[:, win_len:] = 0
+    q = rs.randn(B, 1, Hq, D).astype(np.float32)
+
+    common = (jnp.asarray(q, jnp.bfloat16),)
+    tail = (jnp.asarray(k_win, jnp.bfloat16), jnp.asarray(v_win, jnp.bfloat16),
+            jnp.int32(nact), jnp.int32(win_len), FMT, FMT, mc)
+    ref = np.asarray(ska.fused_sparse_decode_attention(
+        *common, k_segs, k_bmp, v_segs, v_bmp, *tail), np.float32)
+
+    ks_cm, kb_cm = _to_chunk_major(k_segs, k_bmp, FMT, mc)
+    vs_cm, vb_cm = _to_chunk_major(v_segs, v_bmp, FMT, mc)
+    got = np.asarray(ska.fused_sparse_decode_attention_v3(
+        *common, ks_cm, kb_cm, vs_cm, vb_cm, *tail), np.float32)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_fused_v3_zero_chunks():
+    rs = np.random.RandomState(8)
+    B, Hkv, G = 1, 2, 2
+    Hq = Hkv * G
+    mc = 2
+    C, D = FMT.chunk, FMT.dim
+    W, win_len = 288, 21
+    _, k_segs, k_bmp = make_case(rs, B, Hkv, G, 0, mc, W, win_len)
+    _, v_segs, v_bmp = make_case(rs, B, Hkv, G, 0, mc, W, win_len)
+    ks_cm, kb_cm = _to_chunk_major(k_segs, k_bmp, FMT, mc)
+    vs_cm, vb_cm = _to_chunk_major(v_segs, v_bmp, FMT, mc)
+    k_win = rs.randn(B, W, Hkv, D).astype(np.float32); k_win[:, win_len:] = 0
+    v_win = rs.randn(B, W, Hkv, D).astype(np.float32); v_win[:, win_len:] = 0
+    q = rs.randn(B, 1, Hq, D).astype(np.float32)
+    got = np.asarray(ska.fused_sparse_decode_attention_v3(
+        jnp.asarray(q, jnp.bfloat16), ks_cm, kb_cm, vs_cm, vb_cm,
+        jnp.asarray(k_win, jnp.bfloat16), jnp.asarray(v_win, jnp.bfloat16),
+        jnp.int32(0), jnp.int32(win_len), FMT, FMT, mc), np.float32)
+    bf = lambda x: np.asarray(jnp.asarray(x, jnp.bfloat16).astype(jnp.float32))
+    qg = bf(q)[:, 0].reshape(B, Hkv, G, D)
+    kk = bf(k_win)[:, :win_len].transpose(0, 2, 1, 3)
+    vv = bf(v_win)[:, :win_len].transpose(0, 2, 1, 3)
+    lg = np.einsum("bhgd,bhsd->bhgs", qg, kk) / np.sqrt(D)
+    wts = np.asarray(jax.nn.softmax(jnp.asarray(lg), -1))
+    want = np.einsum("bhgs,bhsd->bhgd", wts, vv).reshape(B, 1, Hq, D)
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
