@@ -7,11 +7,10 @@ re-offset every 256 generated tokens (:324-398, with host syncs).  Here the
 state is a fixed set of static-shape arrays threaded through the jitted step
 (layouts derived in ops/sparse_format.py):
 
-  k_vals{s} [max_chunks, B*Hkv, R_s, 128] bf16    interleaved value segments
-  k_bmp     [max_chunks, B*Hkv, C/32, D]  uint32   interleaved bitmap planes
-  (chunk-major so the fused kernel fetches one chunk for a whole head group
-  with a single DMA — see ops/kernels/sparse_attention.py v3)
-  v_vals{s} / v_bmp                                (value stream)
+  kv_pool [max_chunks, B*Hkv, ROWS, 128] int16 — fused-stream rows for K and
+  V (values + bitmap planes, sparse_format.encode_stream), chunk-major so the
+  decode kernel fetches one whole chunk for a head group with a single DMA
+  (ops/kernels/sparse_attention.py v4)
   k_win / v_win [B, Wcap, Hkv, D]         bf16     dense window, Wcap = r + C
   n_chunks      int32                              active chunks (uniform)
 
@@ -67,56 +66,35 @@ class CompressedKVCache:
         m = self.model
         BH = batch * m.num_kv_heads
         mc = self.max_chunks
-        st = {
+        rows = self.kfmt.stream_rows + self.vfmt.stream_rows
+        return {
             "k_win": jnp.zeros((m.num_layers, batch, self.wcap, m.num_kv_heads, m.head_dim), dtype),
             "v_win": jnp.zeros((m.num_layers, batch, self.wcap, m.num_kv_heads, m.head_dim), dtype),
             "n_chunks": jnp.zeros((m.num_layers,), jnp.int32),
-            "k_bmp": jnp.zeros((m.num_layers, mc, BH, self.kfmt.planes, m.head_dim), jnp.uint32),
-            "v_bmp": jnp.zeros((m.num_layers, mc, BH, self.vfmt.planes, m.head_dim), jnp.uint32),
+            "kv_pool": jnp.zeros((m.num_layers, mc, BH, rows, 128), jnp.int16),
         }
-        for si, k in enumerate(self.kfmt.segs):
-            st[f"k_vals{si}"] = jnp.zeros((m.num_layers, mc, BH, self.kfmt.seg_rows(k), 128), dtype)
-        for si, k in enumerate(self.vfmt.segs):
-            st[f"v_vals{si}"] = jnp.zeros((m.num_layers, mc, BH, self.vfmt.seg_rows(k), 128), dtype)
-        return st
-
-    def _ksegs(self, lc):
-        return [lc[f"k_vals{si}"] for si in range(len(self.kfmt.segs))]
-
-    def _vsegs(self, lc):
-        return [lc[f"v_vals{si}"] for si in range(len(self.vfmt.segs))]
 
     # -- packing ----------------------------------------------------------
     def _pack_chunk(self, dense_bthd: jnp.ndarray, fmt: sf.ChunkFormat):
-        """dense [B, C, Hkv, D] -> (segs list [BH, R_s, 128], bmp [BH, P, D])."""
+        """dense [B, C, Hkv, D] -> fused-stream rows [BH, stream_rows, 128]."""
         B, C, H, D = dense_bthd.shape
         x = jnp.transpose(dense_bthd, (0, 2, 1, 3)).reshape(B * H, C, D)
-        return sf.prune_and_encode_chunk(x, fmt)
+        return sf.prune_and_encode_stream(x.astype(jnp.bfloat16), fmt)
 
     def _append_chunk(self, lc, chunk_idx, k_chunk, v_chunk):
         """Prune+pack one dense chunk ([B, C, Hkv, D]) into pool slot chunk_idx."""
-        ksegs, kbmp = self._pack_chunk(k_chunk, self.kfmt)
-        vsegs, vbmp = self._pack_chunk(v_chunk, self.vfmt)
-        for si, seg in enumerate(ksegs):
-            lc[f"k_vals{si}"] = jax.lax.dynamic_update_slice(
-                lc[f"k_vals{si}"], seg.astype(lc[f"k_vals{si}"].dtype)[None],
-                (chunk_idx, 0, 0, 0))
-        lc["k_bmp"] = jax.lax.dynamic_update_slice(
-            lc["k_bmp"], kbmp[None], (chunk_idx, 0, 0, 0))
-        for si, seg in enumerate(vsegs):
-            lc[f"v_vals{si}"] = jax.lax.dynamic_update_slice(
-                lc[f"v_vals{si}"], seg.astype(lc[f"v_vals{si}"].dtype)[None],
-                (chunk_idx, 0, 0, 0))
-        lc["v_bmp"] = jax.lax.dynamic_update_slice(
-            lc["v_bmp"], vbmp[None], (chunk_idx, 0, 0, 0))
+        k_rows = self._pack_chunk(k_chunk, self.kfmt)
+        v_rows = self._pack_chunk(v_chunk, self.vfmt)
+        rows = jnp.concatenate([k_rows, v_rows], axis=-2)      # [BH, ROWS, 128]
+        lc["kv_pool"] = jax.lax.dynamic_update_slice(
+            lc["kv_pool"], rows[None], (chunk_idx, 0, 0, 0))
         return lc
 
-    def _decode_pool(self, segs, bmp, fmt, batch):
-        """Decompress the whole pool to dense [B, Hkv, max_chunks*C, D] (XLA path).
-
-        Pools are chunk-major [mc, BH, ., .]."""
-        mc, BH = bmp.shape[0], bmp.shape[1]
-        dense = sf.decode_chunk(list(segs), bmp, fmt)          # [mc, BH, C, D]
+    def _decode_pool(self, rows, fmt, batch):
+        """Decompress stream rows [mc, BH, SR, 128] to dense
+        [B, Hkv, max_chunks*C, D] (XLA fallback path)."""
+        mc, BH = rows.shape[0], rows.shape[1]
+        dense = sf.decode_stream(rows, fmt)                    # [mc, BH, C, D]
         H = self.model.num_kv_heads
         dense = jnp.swapaxes(dense, 0, 1).reshape(BH, mc * fmt.chunk, fmt.dim)
         return dense.reshape(batch, H, mc * fmt.chunk, fmt.dim)
@@ -172,9 +150,8 @@ class CompressedKVCache:
 
         if self.use_pallas:
             from mustafar_tpu.ops.kernels import sparse_attention as ska
-            out = ska.fused_sparse_decode_attention_v3(
-                q, self._ksegs(lc), lc["k_bmp"], self._vsegs(lc), lc["v_bmp"],
-                lc["k_win"], lc["v_win"], n_chunks, win_len,
+            out = ska.fused_sparse_decode_attention_v4(
+                q, lc["kv_pool"], lc["k_win"], lc["v_win"], n_chunks, win_len,
                 self.kfmt, self.vfmt, self.max_chunks)
         else:
             out = self._decode_attend_xla(lc, q, n_chunks, win_len, B, Hkv, D)
@@ -199,8 +176,9 @@ class CompressedKVCache:
         Numerically mirrors the kernel path (and the reference decode,
         llama_mustafar_kernel.py:256-321)."""
         S = self.max_chunks * self.C
-        k_dense = self._decode_pool(self._ksegs(lc), lc["k_bmp"], self.kfmt, B)
-        v_dense = self._decode_pool(self._vsegs(lc), lc["v_bmp"], self.vfmt, B)
+        KR = self.kfmt.stream_rows
+        k_dense = self._decode_pool(lc["kv_pool"][:, :, :KR], self.kfmt, B)
+        v_dense = self._decode_pool(lc["kv_pool"][:, :, KR:], self.vfmt, B)
         G = q.shape[2] // Hkv
         qg = q[:, 0].reshape(B, Hkv, G, D)
         scale = 1.0 / jnp.sqrt(jnp.float32(D))

@@ -567,3 +567,165 @@ def fused_sparse_decode_attention_v3(q, k_segs, k_bmp, v_segs, v_bmp, k_win,
         interpret=_interpret(),
     )(scalars, *k_segs, k_bmp, *v_segs, v_bmp, qb, kw, vw)
     return out[:, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused decode kernel v4: single fused-stream pool, ONE DMA per chunk.
+#
+# v3 measurement: per-async-copy issue/wait latency dominates (6 buffers x
+# chunks x head-groups ~ 700 DMAs ~ 700us at B=32).  v4 packs each chunk's
+# values+bitmap for both streams into one contiguous int16 row-block
+# (sparse_format.encode_stream), so the pipeline is one copy per chunk.
+# ---------------------------------------------------------------------------
+
+def _expand_stream_rows(rows, fmt: ChunkFormat):
+    """rows [stream_rows, 128] int16 -> dense bf16 [C, D] (in-kernel)."""
+    C, D = fmt.chunk, fmt.dim
+    off = 0
+    segs = []
+    for k in fmt.segs:
+        R = fmt.seg_rows(k)
+        segs.append(pltpu.bitcast(rows[off:off + R], jnp.bfloat16))
+        off += R
+    words = rows[off:off + fmt.bmp16_rows]                         # i16 planes
+    tiled = jnp.concatenate([words] * 16, axis=0).astype(jnp.int32)  # [C, D]
+    bitsel = (jnp.int32(1) << (jax.lax.broadcasted_iota(jnp.int32, (C, D), 0)
+                               // fmt.bmp16_rows))
+    bits = ((tiled & bitsel) != 0).astype(jnp.bfloat16)
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (D, D), 0) <=
+           jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)).astype(jnp.bfloat16)
+    rank = jax.lax.dot_general(bits, tri, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    rank_i = rank.astype(jnp.int32)
+    gs, bounds = [], []
+    base = 1
+    for seg, k in zip(segs, fmt.segs):
+        R = fmt.seg_rows(k)
+        rpt = C // R
+        tbl = jnp.concatenate([seg.astype(jnp.float32)] * rpt, axis=0)
+        toff = jax.lax.broadcasted_iota(jnp.int32, (C, D), 0) // R
+        idx = rank_i + (toff * k - base)
+        gs.append(jnp.take_along_axis(tbl, idx, axis=-1))
+        bounds.append(base + k)
+        base += k
+    dense = gs[0] if len(gs) == 1 else jnp.where(rank_i < bounds[0], gs[0], gs[1])
+    return dense.astype(jnp.bfloat16) * bits
+
+
+def _fused_v4_kernel(scalars_ref, pool_hbm, q_ref, kw_ref, vw_ref, out_ref,
+                     buf, sems, m_ref, l_ref, acc_ref,
+                     *, kfmt: ChunkFormat, vfmt: ChunkFormat, hpb: int,
+                     scale: float):
+    nc = scalars_ref[0]
+    win_len = scalars_ref[1]
+    b = pl.program_id(0)
+    h0 = b * hpb
+    D, C = kfmt.dim, kfmt.chunk
+    KR = kfmt.stream_rows
+
+    def copy(slot, ci):
+        return pltpu.make_async_copy(
+            pool_hbm.at[ci, pl.ds(h0, hpb)], buf.at[slot], sems.at[slot])
+
+    m_ref[:] = jnp.full(m_ref.shape, -1e30, jnp.float32)
+    l_ref[:] = jnp.zeros(l_ref.shape, jnp.float32)
+    acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    @pl.when(nc > 0)
+    def _():
+        copy(0, 0).start()
+
+    def online_update(h, s, vmat):
+        m_old = m_ref[h]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new[:, :1])
+        corr = jnp.exp(m_old - m_new)
+        l_ref[h] = l_ref[h] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[h] = acc_ref[h] * corr[:, :D] + jax.lax.dot_general(
+            p.astype(jnp.bfloat16), vmat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[h] = m_new
+
+    def chunk_body(ci, _):
+        slot = ci % 2
+
+        @pl.when(ci + 1 < nc)
+        def _():
+            copy((ci + 1) % 2, ci + 1).start()
+
+        copy(slot, ci).wait()
+        for h in range(hpb):
+            kd = _expand_stream_rows(buf[slot, h, :KR], kfmt)
+            vd = _expand_stream_rows(buf[slot, h, KR:], vfmt)
+            s = jax.lax.dot_general(q_ref[h], kd, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            online_update(h, s, vd)
+        return 0
+
+    jax.lax.fori_loop(0, nc, chunk_body, 0)
+
+    W = kw_ref.shape[1]
+    wmask = (jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) < win_len)
+    for h in range(hpb):
+        s = jax.lax.dot_general(q_ref[h], kw_ref[h], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(wmask, s, -1e30)
+        online_update(h, s, vw_ref[h])
+    out_ref[:] = acc_ref[:] / l_ref[:, :, :1]
+
+
+def fused_sparse_decode_attention_v4(q, kv_pool, k_win, v_win, n_chunks,
+                                     win_len, kfmt: ChunkFormat,
+                                     vfmt: ChunkFormat, max_chunks: int,
+                                     hpb: int = 8):
+    """v4 fused decode attention.
+
+    q [B,1,Hq,D]; kv_pool [mc, BH, kfmt.stream_rows + vfmt.stream_rows, 128]
+    int16 (encode_stream rows, K block then V block); k_win/v_win
+    [B, W, Hkv, D]; n_chunks/win_len int32 scalars.
+    """
+    B, _, Hq, D = q.shape
+    W = k_win.shape[1]
+    Hkv = k_win.shape[2]
+    G = Hq // Hkv
+    G8 = max(8, G)
+    BH = B * Hkv
+    hpb = min(hpb, BH)
+    while BH % hpb:
+        hpb //= 2
+    NB = BH // hpb
+    ROWS = kfmt.stream_rows + vfmt.stream_rows
+    assert kv_pool.shape == (max_chunks, BH, ROWS, 128), kv_pool.shape
+
+    qg = q[:, 0].reshape(B, Hkv, G, D)
+    qpad = jnp.pad(qg.reshape(BH, G, D), ((0, 0), (0, G8 - G), (0, 0)))
+    qb = qpad.astype(jnp.bfloat16)
+    kw = jnp.transpose(k_win, (0, 2, 1, 3)).reshape(BH, W, D).astype(jnp.bfloat16)
+    vw = jnp.transpose(v_win, (0, 2, 1, 3)).reshape(BH, W, D).astype(jnp.bfloat16)
+
+    scalars = jnp.stack([n_chunks.astype(jnp.int32), win_len.astype(jnp.int32)])
+    fixed = lambda shape: pl.BlockSpec(shape, lambda b, sref: (b, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NB,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  fixed((hpb, G8, D)), fixed((hpb, W, D)), fixed((hpb, W, D))],
+        out_specs=pl.BlockSpec((hpb, G8, D), lambda b, sref: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, hpb, ROWS, 128), jnp.int16),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((hpb, G8, 128), jnp.float32),
+            pltpu.VMEM((hpb, G8, 128), jnp.float32),
+            pltpu.VMEM((hpb, G8, D), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fused_v4_kernel, kfmt=kfmt, vfmt=vfmt, hpb=hpb,
+                          scale=float(1.0 / np.sqrt(D))),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BH, G8, D), jnp.float32),
+        interpret=_interpret(),
+    )(scalars, kv_pool, qb, kw, vw)
+    return out[:, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)

@@ -104,6 +104,15 @@ class ChunkFormat:
         return sum(self.seg_rows(k) for k in self.segs)
 
     @property
+    def bmp16_rows(self) -> int:
+        return self.chunk // 16
+
+    @property
+    def stream_rows(self) -> int:
+        """int16 rows per chunk in the fused-stream layout (values + bitmap)."""
+        return self.total_rows + self.bmp16_rows
+
+    @property
     def bytes_per_chunk(self) -> int:
         return self.total_rows * 128 * 2 + self.planes * self.dim * 4
 
@@ -202,3 +211,83 @@ def prune_and_encode_chunk(dense: jnp.ndarray, fmt: ChunkFormat):
     """Exact top-``keep`` magnitude prune + pack in one step."""
     mask = topk_mask(dense, fmt.keep)
     return encode_chunk(jnp.where(mask, dense, 0).astype(dense.dtype), fmt)
+
+
+# ---------------------------------------------------------------------------
+# Fused-stream layout (kernel v4): one int16 row-block per (chunk, head,
+# stream) so the decode kernel fetches a whole chunk with a single DMA
+# (measured: per-DMA issue/wait latency dominates decode at small buffer
+# counts — SURVEY of /tmp/v3_variants: dma-only 696us of 1398us).
+#
+#   rows [0 .. R_0)              segment 0 values  (bf16 bit-carried in int16)
+#   rows [R_0 .. R_0+R_1)        segment 1 values  (if present)
+#   rows [.. +C/16)              bitmap as uint16 word planes:
+#                                word [t % (C/16), d], bit t // (C/16)
+#
+# int16 is the carrier because TPU DMA/bitcast treat it as raw bits (a bf16
+# carrier canonicalizes NaN payloads — measured corruption), while 16-bit
+# compute limits are avoided by widening the bitmap to int32 in-kernel.
+# ---------------------------------------------------------------------------
+
+def bitmap16(bits: jnp.ndarray, C: int) -> jnp.ndarray:
+    """bits [..., C, D] int -> uint16 word planes [..., C//16, D]."""
+    rows16 = C // 16
+    *lead, _, D = bits.shape
+    planes = bits.reshape(*lead, 16, rows16, D).astype(jnp.uint16)  # t = b*rows16 + r
+    shifts = (jnp.uint16(1) << jnp.arange(16, dtype=jnp.uint16))[:, None, None]
+    return (planes * shifts).sum(axis=-3, dtype=jnp.uint16)
+
+
+def unpack_bitmap16(words: jnp.ndarray, C: int) -> jnp.ndarray:
+    """uint16 planes [..., C//16, D] -> int32 bits [..., C, D]."""
+    rows16 = C // 16
+    *lead, _, D = words.shape
+    tiled = jnp.concatenate([words.astype(jnp.int32)] * 16, axis=-2)
+    shift = (jnp.arange(C, dtype=jnp.int32) // rows16)[:, None]
+    return (tiled >> shift) & 1
+
+
+def encode_stream(dense: jnp.ndarray, fmt: ChunkFormat) -> jnp.ndarray:
+    """Pack a pruned dense chunk [..., C, D] into fused int16 rows
+    [..., fmt.stream_rows, 128]."""
+    C, D = fmt.chunk, fmt.dim
+    keep = fmt.keep_stored
+    *lead, _, _ = dense.shape
+    mag = jnp.abs(dense.astype(jnp.float32))
+    _, idx = jax.lax.top_k(jnp.where(dense != 0, mag, -1.0), keep)
+    idx = jnp.sort(idx, axis=-1)
+    vals = jnp.take_along_axis(dense, idx, axis=-1).astype(jnp.bfloat16)
+    bits = jnp.put_along_axis(jnp.zeros(dense.shape, jnp.int32), idx, 1,
+                              axis=-1, inplace=False)
+    rows = []
+    off = 0
+    for k in fmt.segs:
+        seg = _interleave_vals(vals[..., off:off + k], C, k)
+        rows.append(jax.lax.bitcast_convert_type(seg, jnp.int16))
+        off += k
+    bmp = bitmap16(bits, C)
+    rows.append(jax.lax.bitcast_convert_type(bmp, jnp.int16))
+    return jnp.concatenate(rows, axis=-2)
+
+
+def decode_stream(rows: jnp.ndarray, fmt: ChunkFormat) -> jnp.ndarray:
+    """Inverse of encode_stream -> dense bf16 [..., C, D]."""
+    C, D = fmt.chunk, fmt.dim
+    segs, off = [], 0
+    for k in fmt.segs:
+        R = fmt.seg_rows(k)
+        seg = jax.lax.bitcast_convert_type(rows[..., off:off + R, :], jnp.bfloat16)
+        segs.append(_deinterleave_vals(seg, C, k))
+        off += R
+    vals = jnp.concatenate(segs, axis=-1)                        # [..., C, keep]
+    bmp = jax.lax.bitcast_convert_type(rows[..., off:off + C // 16, :], jnp.uint16)
+    bits = unpack_bitmap16(bmp, C)
+    rank = jnp.cumsum(bits, axis=-1) - 1
+    take = jnp.clip(rank, 0, fmt.keep_stored - 1)
+    dense = jnp.take_along_axis(vals, take, axis=-1)
+    return jnp.where(bits > 0, dense, 0).astype(jnp.bfloat16)
+
+
+def prune_and_encode_stream(dense: jnp.ndarray, fmt: ChunkFormat) -> jnp.ndarray:
+    mask = topk_mask(dense, fmt.keep)
+    return encode_stream(jnp.where(mask, dense, 0).astype(dense.dtype), fmt)

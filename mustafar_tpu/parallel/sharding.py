@@ -68,10 +68,10 @@ def cache_specs(engine: EngineConfig, cache_state: dict) -> dict:
             specs[key] = P(None,)
         elif key in ("k", "v", "k_win", "v_win", "k_score", "v_score"):
             specs[key] = P(None, "data", None, "model", None)
-        elif key.startswith(("k_vals", "v_vals")) or key.endswith("_bmp"):
-            # chunk-major pools [L, mc, B*Hkv, ., .] — joint head dim at axis 2
-            specs[key] = P(None, None, ("data", "model"),
-                           *([None] * (val.ndim - 3)))
+        elif key == "kv_pool":
+            # chunk-major fused pool [L, mc, B*Hkv, ROWS, 128] — joint head
+            # dim at axis 2
+            specs[key] = P(None, None, ("data", "model"), None, None)
         else:
             raise ValueError(key)
     return specs

@@ -33,14 +33,16 @@ def test_compressed_lossless_matches_dense():
     """At sparsity 0 (keep=128) compression is exact, so COMPRESSED generation
     must reproduce DENSE generation token-for-token across prefill chunking,
     window management, and softmax splitting."""
-    params = init_params(MODEL128, jax.random.PRNGKey(0), dtype=jnp.float32)
+    # bf16 end-to-end: the fused-stream pool stores bf16 (int16-carried), so
+    # exactness holds when the dense baseline also runs a bf16 cache.
+    params = init_params(MODEL128, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     prompt = np.random.RandomState(0).randint(0, 512, size=(2, 300))
 
     dense_eng = EngineConfig(model=MODEL128, cache_mode=CacheMode.DENSE,
                              max_seq_len=1024, prefill_bucket=256)
-    dense = Generator(dense_eng, params, dtype=jnp.float32).generate(prompt, 40)
+    dense = Generator(dense_eng, params, dtype=jnp.bfloat16).generate(prompt, 40)
 
-    comp = Generator(_engine(0.0), params, dtype=jnp.float32).generate(prompt, 40)
+    comp = Generator(_engine(0.0), params, dtype=jnp.bfloat16).generate(prompt, 40)
     for a, b in zip(dense, comp):
         np.testing.assert_array_equal(a, b)
 
@@ -62,10 +64,14 @@ def test_prefill_chunking_and_window():
 
     assert int(lc["n_chunks"]) == 2
     # pools hold the exact-top-k pruned prefix
-    k_dense = np.asarray(impl._decode_pool(impl._ksegs(lc), lc["k_bmp"], impl.kfmt, B))
+    KR = impl.kfmt.stream_rows
+    k_dense = np.asarray(impl._decode_pool(lc["kv_pool"][:, :, :KR], impl.kfmt, B),
+                         np.float32)
     kk = np.asarray(k)[0].transpose(1, 0, 2)           # [Hkv, T, D]
-    mask = np.asarray(sf.topk_mask(jnp.asarray(kk[:, :512]), impl.kfmt.keep))
-    np.testing.assert_allclose(k_dense[0, :, :512], kk[:, :512] * mask, atol=1e-6)
+    kk_bf = jnp.asarray(kk[:, :512], jnp.bfloat16)     # packing casts to bf16
+    mask = np.asarray(sf.topk_mask(kk_bf, impl.kfmt.keep))
+    want = np.asarray(kk_bf, np.float32) * mask
+    np.testing.assert_allclose(k_dense[0, :, :512], want, atol=1e-6)
     assert (k_dense[0, :, 512:] == 0).all()
     # window holds tokens 512..600 dense, zero beyond
     kw = np.asarray(lc["k_win"])[0]                    # [Wcap, Hkv, D]

@@ -227,3 +227,38 @@ def test_fused_v3_zero_chunks():
     wts = np.asarray(jax.nn.softmax(jnp.asarray(lg), -1))
     want = np.einsum("bhgs,bhsd->bhgd", wts, vv).reshape(B, 1, Hq, D)
     np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_fused_v4_matches_v2():
+    """v4 (fused-stream single-DMA pool) == v2 on the same logical data."""
+    rs = np.random.RandomState(9)
+    B, Hkv, G = 2, 2, 4
+    Hq = Hkv * G
+    mc, nact = 3, 2
+    C, D = FMT.chunk, FMT.dim
+    W, win_len = 288, 90
+    BH = B * Hkv
+
+    k_pruned, k_segs, k_bmp = make_case(rs, B, Hkv, G, nact, mc, W, win_len)
+    v_pruned, v_segs, v_bmp = make_case(rs, B, Hkv, G, nact, mc, W, win_len)
+    k_win = rs.randn(B, W, Hkv, D).astype(np.float32); k_win[:, win_len:] = 0
+    v_win = rs.randn(B, W, Hkv, D).astype(np.float32); v_win[:, win_len:] = 0
+    q = rs.randn(B, 1, Hq, D).astype(np.float32)
+
+    common = (jnp.asarray(q, jnp.bfloat16),)
+    tail = (jnp.asarray(k_win, jnp.bfloat16), jnp.asarray(v_win, jnp.bfloat16),
+            jnp.int32(nact), jnp.int32(win_len), FMT, FMT, mc)
+    ref = np.asarray(ska.fused_sparse_decode_attention(
+        *common, k_segs, k_bmp, v_segs, v_bmp, *tail), np.float32)
+
+    # build the fused pool from the pruned dense chunks
+    kp = jnp.asarray(k_pruned.reshape(BH, mc, C, D), jnp.bfloat16)
+    vp = jnp.asarray(v_pruned.reshape(BH, mc, C, D), jnp.bfloat16)
+    k_rows = sf.encode_stream(kp, FMT)                 # [BH, mc, SR, 128]
+    v_rows = sf.encode_stream(vp, FMT)
+    pool = jnp.concatenate([k_rows, v_rows], axis=-2)  # [BH, mc, 2SR, 128]
+    pool = jnp.swapaxes(pool, 0, 1)                    # [mc, BH, 2SR, 128]
+
+    got = np.asarray(ska.fused_sparse_decode_attention_v4(
+        *common, pool, *tail), np.float32)
+    np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)

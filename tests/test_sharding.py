@@ -71,7 +71,7 @@ def test_compressed_cache_specs_cover_state():
     assert set(specs) == set(cache)
     mesh = sh.make_mesh(dp=2, tp=2)
     shc = sh.shard_pytree(cache, specs, mesh)
-    assert shc["k_vals0"].sharding.spec[2] == ("data", "model")
+    assert shc["kv_pool"].sharding.spec[2] == ("data", "model")
 
 
 def test_graft_dryrun():
