@@ -48,7 +48,7 @@ def main():
     cfg = dataclasses.replace(LLAMA3_8B, num_layers=layers,
                               vocab_size=32000 if on_tpu else 512)
     B, prompt_len, gen_tokens = (32, 300, 600) if on_tpu else (2, 64, 16)
-    max_seq = 1024 if on_tpu else 256
+    max_seq = 1312 if on_tpu else 256
 
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     params = jax.block_until_ready(params)

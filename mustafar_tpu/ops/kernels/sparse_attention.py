@@ -729,3 +729,194 @@ def fused_sparse_decode_attention_v4(q, kv_pool, k_win, v_win, n_chunks,
         interpret=_interpret(),
     )(scalars, kv_pool, qb, kw, vw)
     return out[:, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused decode kernel v5: head-batched compute.
+#
+# Shootout measurement: with DMA count and grid steps already minimized
+# (v3/v4), decode cost is bound by ~2k *small* MXU matmuls per step (~0.4 us
+# fixed latency each).  v5 batches all HPB heads of a step into single large
+# operations:
+#   * expansion runs on stacked [HPB*C, D] tiles (one rank matmul, one
+#     gather chain for all heads);
+#   * scores use one cross-product matmul q_all [HPB*G8, D] x KD_all^T
+#     [D, HPB*C] and select the block diagonal;
+#   * the value combine builds a block-diagonal probability matrix and does
+#     one [HPB*G8, HPB*C] x [HPB*C, D] matmul.
+# FLOP inflation (HPB x on the cross terms) is free: the MXU is latency- not
+# throughput-bound at these sizes.
+# ---------------------------------------------------------------------------
+
+def _expand_stream_rows_batched(buf_slot, fmt: ChunkFormat, hpb: int, row_off: int):
+    """buf_slot [hpb, ROWS, 128] int16 -> dense bf16 [hpb*C, D] (stacked)."""
+    C, D = fmt.chunk, fmt.dim
+    SR = fmt.stream_rows
+    # stacked bitmap tiles: rows h*C + t need word rows of head h
+    word_tiles = []
+    val_parts = {k: [] for k in fmt.segs}
+    for h in range(hpb):
+        words = buf_slot[h, row_off + fmt.total_rows: row_off + SR]   # [C/16,128]
+        word_tiles.extend([words] * 16)
+        off = row_off
+        for k in fmt.segs:
+            R = fmt.seg_rows(k)
+            seg = buf_slot[h, off:off + R]
+            val_parts[k].extend([seg] * (C // R))
+            off += R
+    tiled = jnp.concatenate(word_tiles, axis=0).astype(jnp.int32)     # [hpb*C, D]
+    HC = hpb * C
+    trow = jax.lax.broadcasted_iota(jnp.int32, (HC, D), 0) % C        # token idx
+    bitsel = jnp.int32(1) << (trow // fmt.bmp16_rows)
+    bits = ((tiled & bitsel) != 0).astype(jnp.bfloat16)
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (D, D), 0) <=
+           jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)).astype(jnp.bfloat16)
+    rank = jax.lax.dot_general(bits, tri, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    rank_i = rank.astype(jnp.int32)
+    gs, bounds = [], []
+    base = 1
+    for k in fmt.segs:
+        R = fmt.seg_rows(k)
+        tblb = jnp.concatenate(val_parts[k], axis=0)                  # [hpb*C,128] i16
+        tbl = pltpu.bitcast(tblb, jnp.bfloat16).astype(jnp.float32)
+        toff = trow // R
+        idx = rank_i + (toff * k - base)
+        gs.append(jnp.take_along_axis(tbl, idx, axis=-1))
+        bounds.append(base + k)
+        base += k
+    dense = gs[0] if len(gs) == 1 else jnp.where(rank_i < bounds[0], gs[0], gs[1])
+    return dense.astype(jnp.bfloat16) * bits
+
+
+def _fused_v5_kernel(scalars_ref, pool_hbm, q_ref, kw_ref, vw_ref, out_ref,
+                     buf, sems, m_ref, l_ref, acc_ref,
+                     *, kfmt: ChunkFormat, vfmt: ChunkFormat, hpb: int,
+                     scale: float):
+    nc = scalars_ref[0]
+    win_len = scalars_ref[1]
+    b = pl.program_id(0)
+    h0 = b * hpb
+    D, C = kfmt.dim, kfmt.chunk
+    KR = kfmt.stream_rows
+    G8 = q_ref.shape[1]
+    HG = hpb * G8
+    HC = hpb * C
+
+    def copy(slot, ci):
+        return pltpu.make_async_copy(
+            pool_hbm.at[ci, pl.ds(h0, hpb)], buf.at[slot], sems.at[slot])
+
+    m_ref[:] = jnp.full(m_ref.shape, -1e30, jnp.float32)
+    l_ref[:] = jnp.zeros(l_ref.shape, jnp.float32)
+    acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    @pl.when(nc > 0)
+    def _():
+        copy(0, 0).start()
+
+    q_all = q_ref[:].reshape(HG, D)                                   # [HG, D]
+    # block-diag selector: row g of head h pairs with key rows of head h
+    hrow_q = jax.lax.broadcasted_iota(jnp.int32, (HG, HC), 0) // G8
+    hrow_k = jax.lax.broadcasted_iota(jnp.int32, (HG, HC), 1) // C
+    blk = hrow_q == hrow_k                                            # [HG, HC]
+
+    def online_update_all(s_blk, vmat_all):
+        """s_blk [HG, HC] fp32 (off-diag -inf); vmat_all [HC, D] stacked per head."""
+        m_old = m_ref[:].reshape(HG, 128)
+        m_new = jnp.maximum(m_old, jnp.max(s_blk, axis=-1, keepdims=True))
+        p = jnp.exp(s_blk - m_new[:, :1])                             # [HG, HC]
+        corr = jnp.exp(m_old - m_new)
+        l_ref[:] = (l_ref[:].reshape(HG, 128) * corr
+                    + jnp.sum(p, axis=-1, keepdims=True)).reshape(l_ref.shape)
+        pv = jax.lax.dot_general(p.astype(jnp.bfloat16), vmat_all,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # [HG, D]
+        acc_ref[:] = (acc_ref[:].reshape(HG, D) * corr[:, :D] + pv).reshape(acc_ref.shape)
+        m_ref[:] = m_new.reshape(m_ref.shape)
+
+    def chunk_body(ci, _):
+        slot = ci % 2
+
+        @pl.when(ci + 1 < nc)
+        def _():
+            copy((ci + 1) % 2, ci + 1).start()
+
+        copy(slot, ci).wait()
+        kd = _expand_stream_rows_batched(buf[slot], kfmt, hpb, 0)     # [HC, D]
+        vd = _expand_stream_rows_batched(buf[slot], vfmt, hpb, KR)
+        s = jax.lax.dot_general(q_all, kd, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(blk, s, -1e30)
+        online_update_all(s, vd)
+        return 0
+
+    jax.lax.fori_loop(0, nc, chunk_body, 0)
+
+    # dense residual window (also head-batched)
+    W = kw_ref.shape[1]
+    HW = hpb * W
+    kw_all = kw_ref[:].reshape(HW, D)
+    vw_all = vw_ref[:].reshape(HW, D)
+    hq = jax.lax.broadcasted_iota(jnp.int32, (HG, HW), 0) // G8
+    hk = jax.lax.broadcasted_iota(jnp.int32, (HG, HW), 1) // W
+    wpos = jax.lax.broadcasted_iota(jnp.int32, (HG, HW), 1) % W
+    wblk = (hq == hk) & (wpos < win_len)
+    s = jax.lax.dot_general(q_all, kw_all, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = jnp.where(wblk, s, -1e30)
+    online_update_all(s, vw_all)
+    out_ref[:] = (acc_ref[:].reshape(HG, D)
+                  / l_ref[:].reshape(HG, 128)[:, :1]).reshape(out_ref.shape)
+
+
+def fused_sparse_decode_attention_v5(q, kv_pool, k_win, v_win, n_chunks,
+                                     win_len, kfmt: ChunkFormat,
+                                     vfmt: ChunkFormat, max_chunks: int,
+                                     hpb: int = 8):
+    """v5 fused decode attention (head-batched compute).  Same contract as v4."""
+    B, _, Hq, D = q.shape
+    W = k_win.shape[1]
+    Hkv = k_win.shape[2]
+    G = Hq // Hkv
+    G8 = max(8, G)
+    BH = B * Hkv
+    hpb = min(hpb, BH)
+    while BH % hpb:
+        hpb //= 2
+    NB = BH // hpb
+    ROWS = kfmt.stream_rows + vfmt.stream_rows
+    assert kv_pool.shape == (max_chunks, BH, ROWS, 128), kv_pool.shape
+
+    qg = q[:, 0].reshape(B, Hkv, G, D)
+    qpad = jnp.pad(qg.reshape(BH, G, D), ((0, 0), (0, G8 - G), (0, 0)))
+    qb = qpad.astype(jnp.bfloat16)
+    kw = jnp.transpose(k_win, (0, 2, 1, 3)).reshape(BH, W, D).astype(jnp.bfloat16)
+    vw = jnp.transpose(v_win, (0, 2, 1, 3)).reshape(BH, W, D).astype(jnp.bfloat16)
+
+    scalars = jnp.stack([n_chunks.astype(jnp.int32), win_len.astype(jnp.int32)])
+    fixed = lambda shape: pl.BlockSpec(shape, lambda b, sref: (b, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NB,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  fixed((hpb, G8, D)), fixed((hpb, W, D)), fixed((hpb, W, D))],
+        out_specs=pl.BlockSpec((hpb, G8, D), lambda b, sref: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, hpb, ROWS, 128), jnp.int16),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((hpb, G8, 128), jnp.float32),
+            pltpu.VMEM((hpb, G8, 128), jnp.float32),
+            pltpu.VMEM((hpb, G8, D), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fused_v5_kernel, kfmt=kfmt, vfmt=vfmt, hpb=hpb,
+                          scale=float(1.0 / np.sqrt(D))),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BH, G8, D), jnp.float32),
+        interpret=_interpret(),
+    )(scalars, kv_pool, qb, kw, vw)
+    return out[:, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
