@@ -150,7 +150,7 @@ class CompressedKVCache:
 
         if self.use_pallas:
             from mustafar_tpu.ops.kernels import sparse_attention as ska
-            out = ska.fused_sparse_decode_attention_v4(
+            out = ska.fused_sparse_decode_attention_v5(
                 q, lc["kv_pool"], lc["k_win"], lc["v_win"], n_chunks, win_len,
                 self.kfmt, self.vfmt, self.max_chunks)
         else:

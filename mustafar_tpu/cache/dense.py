@@ -281,6 +281,11 @@ class MaskedKVCache(DenseKVCache):
         elif m.k_policy == "token_opa":
             lc = self._decode_prune_k_opa(lc, q, exit_idx)
 
+        if pos.ndim > 0 and m.v_policy in ("channel_mag", "channel_opa"):
+            raise NotImplementedError(
+                "channel (Vc) pruning needs uniform positions (no continuous "
+                "batching): group boundaries are per-slot")
+
         # ---- V ----
         if m.v_policy == "token_mag":
             lc["v"] = _prune_row_at(lc["v"], exit_idx,

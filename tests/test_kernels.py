@@ -291,3 +291,33 @@ def test_fused_v5_matches_v4():
     ref = np.asarray(ska.fused_sparse_decode_attention_v4(*args), np.float32)
     got = np.asarray(ska.fused_sparse_decode_attention_v5(*args), np.float32)
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_fused_v6_matches_v4():
+    """v6 (pools-only kernel + XLA window merge) == v4."""
+    rs = np.random.RandomState(11)
+    B, Hkv, G = 2, 2, 4
+    Hq = Hkv * G
+    mc, nact = 3, 2
+    C, D = FMT.chunk, FMT.dim
+    W, win_len = 288, 90
+    BH = B * Hkv
+
+    k_pruned, *_ = make_case(rs, B, Hkv, G, nact, mc, W, win_len)
+    v_pruned, *_ = make_case(rs, B, Hkv, G, nact, mc, W, win_len)
+    k_win = rs.randn(B, W, Hkv, D).astype(np.float32); k_win[:, win_len:] = 0
+    v_win = rs.randn(B, W, Hkv, D).astype(np.float32); v_win[:, win_len:] = 0
+    q = rs.randn(B, 1, Hq, D).astype(np.float32)
+
+    kp = jnp.asarray(k_pruned.reshape(BH, mc, C, D), jnp.bfloat16)
+    vp = jnp.asarray(v_pruned.reshape(BH, mc, C, D), jnp.bfloat16)
+    pool = jnp.swapaxes(jnp.concatenate(
+        [sf.encode_stream(kp, FMT), sf.encode_stream(vp, FMT)], axis=-2), 0, 1)
+
+    args = (jnp.asarray(q, jnp.bfloat16), pool,
+            jnp.asarray(k_win, jnp.bfloat16), jnp.asarray(v_win, jnp.bfloat16))
+    for nc in [0, nact]:
+        tail = (jnp.int32(nc), jnp.int32(win_len), FMT, FMT, mc)
+        ref = np.asarray(ska.fused_sparse_decode_attention_v4(*args, *tail), np.float32)
+        got = np.asarray(ska.fused_sparse_decode_attention_v6(*args, *tail), np.float32)
+        np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
