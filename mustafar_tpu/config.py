@@ -83,6 +83,9 @@ class PruneConfig:
     v_sparsity: float = 0.5   # fraction pruned from V
     group_size: int = 32      # channel-prune / Opa accumulation group (long_test.sh fixes 32)
     residual_length: int = 32 # most-recent tokens kept dense (== group_size in reference)
+    exact_keep: Optional[int] = None  # override survivors/row (power-of-two keeps,
+                                      # e.g. 32, enable the single-segment fast
+                                      # kernel path — docs/PERFORMANCE.md)
 
     def kept_per_row(self, dim: int, sparsity: float) -> int:
         """Number of elements the reference's threshold rule keeps per pruned row.
@@ -91,8 +94,10 @@ class PruneConfig:
         ``int(sparsity*dim)``-th smallest |x| (torch.kthvalue) and elements
         ``>= threshold`` are kept, so exactly ``dim - int(sparsity*dim) + 1``
         survive (modulo ties).  We use exact top-k with the same count, which
-        gives static shapes on TPU.
+        gives static shapes on TPU.  ``exact_keep`` overrides the rule.
         """
+        if self.exact_keep is not None:
+            return self.exact_keep
         k = max(1, int(sparsity * dim))
         return dim - k + 1 if sparsity > 0 else dim
 
