@@ -49,6 +49,10 @@ class CompressedKVCache:
             f"engine scope); got {p.method}")
         assert p.method.v_policy in ("token_mag",), p.method
         m = self.model
+        assert m.head_dim == 128, (
+            "the fused-stream compressed format packs bitmap planes as 128-wide "
+            f"rows; head_dim must be 128 (got {m.head_dim}).  All reference "
+            "models (Llama-2/3, Mistral) use 128; use MASKED mode otherwise.")
         C = engine.chunk_size
         self.C = C
         self.r = p.residual_length

@@ -161,3 +161,19 @@ def test_compressed_gqa_generation():
     assert len(out) == 2 and all(len(o) == 24 for o in out)
     # degenerate outputs (all same token) would indicate a broken kernel path
     assert len(set(out[0].tolist())) > 3
+
+
+def test_exact_keep_fast_mode():
+    """exact_keep=32 selects the single-segment format and still generates."""
+    eng = EngineConfig(
+        model=MODEL128, cache_mode=CacheMode.COMPRESSED,
+        prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                          k_sparsity=0.7, v_sparsity=0.7, exact_keep=32),
+        max_seq_len=1024, prefill_bucket=256, chunk_size=256)
+    impl = CompressedKVCache(eng, use_pallas=False)
+    assert impl.kfmt.segs == (32,)
+    assert impl.kfmt.compression_ratio > 3.0
+    params = init_params(MODEL128, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    prompt = np.random.RandomState(0).randint(0, 512, size=(1, 300))
+    out = Generator(eng, params, dtype=jnp.bfloat16).generate(prompt, 12)
+    assert len(out[0]) == 12

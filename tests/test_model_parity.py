@@ -133,3 +133,16 @@ def test_decode_matches_prefill_consistency():
     full = our_prefill_logits(cfg, params, ids.tolist(), max_seq=64)
     for j, i in enumerate(range(T - 4, T)):
         np.testing.assert_allclose(outs[j], full[:, i], rtol=2e-4, atol=2e-4)
+
+
+def test_load_hf_dir_roundtrip(tmp_path):
+    """save_pretrained -> load_hf_dir -> logits match the in-memory model."""
+    hf = tiny_hf_llama(kv_heads=2)
+    hf.save_pretrained(tmp_path, safe_serialization=True)
+    from mustafar_tpu.models.weights import load_hf_dir
+    cfg, params = load_hf_dir(str(tmp_path), dtype=jnp.float32)
+    assert cfg.num_kv_heads == 2
+    ids = np.random.RandomState(7).randint(0, 256, size=(1, 20)).tolist()
+    ours = our_prefill_logits(cfg, params, ids)
+    theirs = hf_logits(hf, ids)
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)

@@ -61,7 +61,10 @@ def test_tp_dp_matches_single_device():
 
 
 def test_compressed_cache_specs_cover_state():
-    eng = EngineConfig(model=CFG, cache_mode=CacheMode.COMPRESSED,
+    import dataclasses
+    cfg128 = dataclasses.replace(CFG, head_dim=128, num_heads=4, num_kv_heads=2,
+                                 hidden_size=512)
+    eng = EngineConfig(model=cfg128, cache_mode=CacheMode.COMPRESSED,
                        prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
                                          k_sparsity=0.7, v_sparsity=0.7),
                        max_seq_len=544, chunk_size=256)
