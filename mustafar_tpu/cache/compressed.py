@@ -74,9 +74,26 @@ class CompressedKVCache:
         return {
             "k_win": jnp.zeros((m.num_layers, batch, self.wcap, m.num_kv_heads, m.head_dim), dtype),
             "v_win": jnp.zeros((m.num_layers, batch, self.wcap, m.num_kv_heads, m.head_dim), dtype),
-            "n_chunks": jnp.zeros((m.num_layers,), jnp.int32),
+            "n_chunks": jnp.zeros((m.num_layers, batch), jnp.int32),
             "kv_pool": jnp.zeros((m.num_layers, mc, BH, rows, 128), jnp.int16),
         }
+
+    def insert_slot(self, cache: dict, sub: dict, slot) -> dict:
+        """Insert a batch-1 compressed cache into batch slot ``slot``.
+
+        kv_pool rows for sequence b live at [:, :, b*Hkv:(b+1)*Hkv]; windows
+        and n_chunks index the batch axis directly."""
+        Hkv = self.model.num_kv_heads
+        out = dict(cache)
+        out["kv_pool"] = jax.lax.dynamic_update_slice(
+            cache["kv_pool"], sub["kv_pool"].astype(cache["kv_pool"].dtype),
+            (0, 0, slot * Hkv, 0, 0))
+        for key in ("k_win", "v_win"):
+            out[key] = jax.lax.dynamic_update_slice_in_dim(
+                cache[key], sub[key].astype(cache[key].dtype), slot, axis=1)
+        out["n_chunks"] = jax.lax.dynamic_update_slice_in_dim(
+            cache["n_chunks"], sub["n_chunks"], slot, axis=1)
+        return out
 
     # -- packing ----------------------------------------------------------
     def _pack_chunk(self, dense_bthd: jnp.ndarray, fmt: sf.ChunkFormat):
@@ -124,7 +141,7 @@ class CompressedKVCache:
         lc = dict(lc)
         if max_pre > 0:  # a prompt shorter than one chunk can never compress
             lc = jax.lax.fori_loop(0, max_pre, body, lc)
-        lc["n_chunks"] = n_pre.astype(jnp.int32)
+        lc["n_chunks"] = jnp.full((B,), n_pre, jnp.int32)
 
         # window <- tokens [comp_len, true_len); length in [r, r+C)
         idx = comp_len + jnp.arange(self.wcap)
@@ -138,12 +155,18 @@ class CompressedKVCache:
 
     # -- decode -----------------------------------------------------------
     def decode_attend(self, lc, q, k, v, pos):
-        """q [B,1,Hq,D]; appends k/v (1 token) and attends pools + window."""
+        """q [B,1,Hq,D]; appends k/v (1 token) and attends pools + window.
+
+        pos: scalar int32 (uniform batch) or [B] (per-slot continuous
+        batching; per-slot chunk counts, window lengths, and compaction)."""
+        pos = jnp.asarray(pos)
+        if pos.ndim > 0:
+            return self._decode_attend_per_slot(dict(lc), q, k, v, pos)
         lc = dict(lc)
         B, _, Hq, D = q.shape
         Hkv = self.model.num_kv_heads
         C, r = self.C, self.r
-        n_chunks = lc["n_chunks"]
+        n_chunks = lc["n_chunks"][0]                            # uniform batch
         comp_len = n_chunks * C
         win_len = pos + 1 - comp_len                            # incl. new token
 
@@ -168,17 +191,60 @@ class CompressedKVCache:
                 [lc["k_win"][:, C:], jnp.zeros_like(lc["k_win"][:, :C])], axis=1)
             lc["v_win"] = jnp.concatenate(
                 [lc["v_win"][:, C:], jnp.zeros_like(lc["v_win"][:, :C])], axis=1)
-            lc["n_chunks"] = n_chunks + 1
+            lc["n_chunks"] = lc["n_chunks"] + 1
             return lc
 
         lc = jax.lax.cond(win_len >= r + C, compact, lambda lc: lc, lc)
+        return out, lc
+
+    def _decode_attend_per_slot(self, lc, q, k, v, pos):
+        """Per-slot decode: pos [B]; n_chunks [B]; vectorized compaction."""
+        B, _, Hq, D = q.shape
+        Hkv = self.model.num_kv_heads
+        C, r = self.C, self.r
+        mc = self.max_chunks
+        nc = lc["n_chunks"]                                     # [B]
+        win_len = pos + 1 - nc * C                              # [B]
+        bidx = jnp.arange(B)
+
+        lc["k_win"] = lc["k_win"].at[bidx, win_len - 1].set(
+            k[:, 0].astype(lc["k_win"].dtype))
+        lc["v_win"] = lc["v_win"].at[bidx, win_len - 1].set(
+            v[:, 0].astype(lc["v_win"].dtype))
+
+        if self.use_pallas and Hkv in (8, 16):
+            from mustafar_tpu.ops.kernels import sparse_attention as ska
+            out = ska.fused_sparse_decode_attention_v6ps(
+                q, lc["kv_pool"], lc["k_win"], lc["v_win"], nc, win_len,
+                self.kfmt, self.vfmt, mc)
+        else:
+            out = self._decode_attend_xla(lc, q, nc, win_len, B, Hkv, D)
+
+        # vectorized compaction: slot b compacts when its window is full
+        do = win_len >= r + C                                   # [B]
+        k_rows = self._pack_chunk(lc["k_win"][:, :C], self.kfmt)
+        v_rows = self._pack_chunk(lc["v_win"][:, :C], self.vfmt)
+        new_rows = jnp.concatenate([k_rows, v_rows], axis=-2)   # [BH, ROWS, 128]
+        bh = jnp.arange(B * Hkv)
+        b_of = bh // Hkv
+        ci = jnp.clip(nc, 0, mc - 1)[b_of]                      # [BH]
+        existing = lc["kv_pool"][ci, bh]                        # [BH, ROWS, 128]
+        sel = do[b_of][:, None, None]
+        lc["kv_pool"] = lc["kv_pool"].at[ci, bh].set(
+            jnp.where(sel, new_rows.astype(lc["kv_pool"].dtype), existing))
+        for key in ("k_win", "v_win"):
+            shifted = jnp.concatenate(
+                [lc[key][:, C:], jnp.zeros_like(lc[key][:, :C])], axis=1)
+            lc[key] = jnp.where(do[:, None, None, None], shifted, lc[key])
+        lc["n_chunks"] = nc + do.astype(jnp.int32)
         return out, lc
 
     def _decode_attend_xla(self, lc, q, n_chunks, win_len, B, Hkv, D):
         """XLA fallback: decompress pools, two-part masked attention.
 
         Numerically mirrors the kernel path (and the reference decode,
-        llama_mustafar_kernel.py:256-321)."""
+        llama_mustafar_kernel.py:256-321).  n_chunks/win_len: scalar (uniform)
+        or [B,1,1,1] (per-slot)."""
         S = self.max_chunks * self.C
         KR = self.kfmt.stream_rows
         k_dense = self._decode_pool(lc["kv_pool"][:, :, :KR], self.kfmt, B)
@@ -186,15 +252,17 @@ class CompressedKVCache:
         G = q.shape[2] // Hkv
         qg = q[:, 0].reshape(B, Hkv, G, D)
         scale = 1.0 / jnp.sqrt(jnp.float32(D))
+        nc_b = jnp.asarray(n_chunks).reshape(-1, 1, 1, 1)   # [1|B, 1, 1, 1]
+        wl_b = jnp.asarray(win_len).reshape(-1, 1, 1, 1)
 
         s_comp = jnp.einsum("bhgd,bhsd->bhgs", qg, k_dense,
                             preferred_element_type=jnp.float32) * scale
-        s_comp = jnp.where((jnp.arange(S) < n_chunks * self.C)[None, None, None, :],
+        s_comp = jnp.where(jnp.arange(S)[None, None, None, :] < nc_b * self.C,
                            s_comp, NEG_INF)
         kw = jnp.transpose(lc["k_win"], (0, 2, 1, 3))            # [B,Hkv,W,D]
         s_win = jnp.einsum("bhgd,bhwd->bhgw", qg, kw,
                            preferred_element_type=jnp.float32) * scale
-        s_win = jnp.where((jnp.arange(self.wcap) < win_len)[None, None, None, :],
+        s_win = jnp.where(jnp.arange(self.wcap)[None, None, None, :] < wl_b,
                           s_win, NEG_INF)
         logits = jnp.concatenate([s_comp, s_win], axis=-1)
         w = jax.nn.softmax(logits, axis=-1)

@@ -53,6 +53,15 @@ class DenseKVCache:
     def extra_state(self, batch: int, dtype) -> dict:
         return {}
 
+    def insert_slot(self, cache: dict, sub: dict, slot) -> dict:
+        """Insert a batch-1 cache (from a single-request prefill) into
+        batch slot ``slot`` of the full cache (continuous batching)."""
+        out = dict(cache)
+        for key, val in sub.items():
+            out[key] = jax.lax.dynamic_update_slice_in_dim(
+                cache[key], val.astype(cache[key].dtype), slot, axis=1)
+        return out
+
     # -- prefill ----------------------------------------------------------
     def prefill_attend(self, lc: dict, q, k, v, true_len):
         """q [B,T,Hq,D], k/v [B,T,Hkv,D] (roped); true_len: scalar int32 (uniform).

@@ -1069,3 +1069,162 @@ def fused_sparse_decode_attention_v6(q, kv_pool, k_win, v_win, n_chunks,
     a_w = jnp.exp(m_w_safe - m_tot)
     out = (acc * a_c + o_w * a_w) / (l_c * a_c + l_w * a_w)
     return out[:, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# v6ps: per-slot chunk counts (continuous batching over the compressed cache).
+#
+# nc and win_len are per-sequence vectors; a head-group may span several
+# sequences, so the kernel reads the group's counts from the scalar-prefetch
+# array, trips to the group max, and masks each head's columns by its own
+# count.  The window part (XLA) already supports per-slot lengths.
+# ---------------------------------------------------------------------------
+
+def _fused_v6ps_kernel(scalars_ref, pool_hbm, q_ref, out_ref, m_out, l_out,
+                       buf, sems, m_ref, l_ref, acc_ref,
+                       *, kfmt: ChunkFormat, vfmt: ChunkFormat, hpb: int,
+                       hkv: int, scale: float):
+    b = pl.program_id(0)
+    h0 = b * hpb
+    D, C = kfmt.dim, kfmt.chunk
+    KR = kfmt.stream_rows
+    G8 = q_ref.shape[1]
+    HG = hpb * G8
+    HC = hpb * C
+
+    # per-head chunk counts for this group (from the per-sequence vector)
+    ncs = [scalars_ref[(h0 + j) // hkv] for j in range(hpb)]
+    nc_max = ncs[0]
+    for v in ncs[1:]:
+        nc_max = jnp.maximum(nc_max, v)
+
+    def copy(slot, ci):
+        return pltpu.make_async_copy(
+            pool_hbm.at[ci, pl.ds(h0, hpb)], buf.at[slot], sems.at[slot])
+
+    m_ref[:] = jnp.full(m_ref.shape, -1e30, jnp.float32)
+    l_ref[:] = jnp.zeros(l_ref.shape, jnp.float32)
+    acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    @pl.when(nc_max > 0)
+    def _():
+        copy(0, 0).start()
+
+    q_all = q_ref[:].reshape(HG, D)
+    hrow_q = jax.lax.broadcasted_iota(jnp.int32, (HG, HC), 0) // G8
+    hrow_k = jax.lax.broadcasted_iota(jnp.int32, (HG, HC), 1) // C
+    blk = hrow_q == hrow_k
+    # per-column chunk count: nc_col[col] = nc of head col // C
+    hcol = jax.lax.broadcasted_iota(jnp.int32, (1, HC), 1) // C
+    nc_col = jnp.zeros((1, HC), jnp.int32)
+    for j in range(hpb):
+        nc_col = nc_col + jnp.where(hcol == j, ncs[j], 0)
+
+    def chunk_body(ci, _):
+        slot = ci % 2
+
+        @pl.when(ci + 1 < nc_max)
+        def _():
+            copy((ci + 1) % 2, ci + 1).start()
+
+        copy(slot, ci).wait()
+        kd = _expand_stream_rows_batched(buf[slot], kfmt, hpb, 0)
+        vd = _expand_stream_rows_batched(buf[slot], vfmt, hpb, KR)
+        s = jax.lax.dot_general(q_all, kd, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(blk & (ci < nc_col), s, -1e30)
+        m_old = m_ref[:].reshape(HG, 128)
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new[:, :1])
+        corr = jnp.exp(m_old - m_new)
+        l_ref[:] = (l_ref[:].reshape(HG, 128) * corr
+                    + jnp.sum(p, axis=-1, keepdims=True)).reshape(l_ref.shape)
+        pv = jax.lax.dot_general(p.astype(jnp.bfloat16), vd,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_ref[:] = (acc_ref[:].reshape(HG, D) * corr[:, :D] + pv).reshape(acc_ref.shape)
+        m_ref[:] = m_new.reshape(m_ref.shape)
+        return 0
+
+    jax.lax.fori_loop(0, nc_max, chunk_body, 0)
+    out_ref[:] = acc_ref[:]
+    m_out[:] = m_ref[:, :, :1]
+    l_out[:] = l_ref[:, :, :1]
+
+
+def fused_sparse_decode_attention_v6ps(q, kv_pool, k_win, v_win, n_chunks,
+                                       win_len, kfmt: ChunkFormat,
+                                       vfmt: ChunkFormat, max_chunks: int,
+                                       hpb: int = 16):
+    """Per-slot v6: n_chunks [B], win_len [B] vectors (continuous batching)."""
+    B, _, Hq, D = q.shape
+    W = k_win.shape[1]
+    Hkv = k_win.shape[2]
+    G = Hq // Hkv
+    G8 = max(8, G)
+    BH = B * Hkv
+    hpb = min(hpb, BH)
+    while BH % hpb:
+        hpb //= 2
+    NB = BH // hpb
+    ROWS = kfmt.stream_rows + vfmt.stream_rows
+    assert kv_pool.shape == (max_chunks, BH, ROWS, 128), kv_pool.shape
+    assert n_chunks.shape == (B,) and win_len.shape == (B,)
+
+    qg = q[:, 0].reshape(B, Hkv, G, D)
+    qpad = jnp.pad(qg.reshape(BH, G, D), ((0, 0), (0, G8 - G), (0, 0)))
+    qb = qpad.astype(jnp.bfloat16)
+
+    # scalars: one chunk count per kv-head row (B entries indexed by bh//Hkv)
+    scalars = n_chunks.astype(jnp.int32)
+    fixed = lambda shape: pl.BlockSpec(shape, lambda b, sref: (b, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NB,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), fixed((hpb, G8, D))],
+        out_specs=(pl.BlockSpec((hpb, G8, D), lambda b, sref: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((hpb, G8, 1), lambda b, sref: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((hpb, G8, 1), lambda b, sref: (b, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((2, hpb, ROWS, 128), jnp.int16),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((hpb, G8, 128), jnp.float32),
+            pltpu.VMEM((hpb, G8, 128), jnp.float32),
+            pltpu.VMEM((hpb, G8, D), jnp.float32),
+        ],
+    )
+    acc, m_c, l_c = pl.pallas_call(
+        functools.partial(_fused_v6ps_kernel, kfmt=kfmt, vfmt=vfmt, hpb=hpb,
+                          hkv=Hkv, scale=float(1.0 / np.sqrt(D))),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((BH, G8, D), jnp.float32),
+                   jax.ShapeDtypeStruct((BH, G8, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((BH, G8, 1), jnp.float32)),
+        interpret=_interpret(),
+    )(scalars, kv_pool, qb)
+
+    kw = jnp.transpose(k_win, (0, 2, 1, 3)).reshape(BH, W, D)
+    vw = jnp.transpose(v_win, (0, 2, 1, 3)).reshape(BH, W, D)
+    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+    wl_bh = jnp.repeat(win_len, Hkv)                             # [BH]
+    s_w = jax.lax.dot_general(qpad.astype(jnp.float32), kw.astype(jnp.float32),
+                              (((2,), (2,)), ((0,), (0,)))) * scale
+    s_w = jnp.where(jnp.arange(W)[None, None, :] < wl_bh[:, None, None],
+                    s_w, -jnp.inf)
+    m_w = jnp.max(s_w, axis=-1, keepdims=True)
+    m_w_safe = jnp.maximum(m_w, -1e30)
+    p_w = jnp.exp(s_w - m_w_safe)
+    l_w = jnp.sum(p_w, axis=-1, keepdims=True)
+    o_w = jax.lax.dot_general(p_w.astype(jnp.bfloat16), vw.astype(jnp.bfloat16),
+                              (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+
+    m_tot = jnp.maximum(m_c, m_w_safe)
+    a_c = jnp.exp(m_c - m_tot)
+    a_w = jnp.exp(m_w_safe - m_tot)
+    out = (acc * a_c + o_w * a_w) / (l_c * a_c + l_w * a_w)
+    return out[:, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)

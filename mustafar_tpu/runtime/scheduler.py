@@ -6,16 +6,15 @@ Design:
 
   * a fixed pool of B slots; the KV cache is preallocated for B sequences;
   * per-request prefill runs on a batch-1 jitted program and the resulting
-    layer caches are inserted into the slot (dynamic_update_slice on the
-    batch axis) — no recompilation per request thanks to prompt bucketing;
+    layer caches are inserted into the slot (impl.insert_slot) — no
+    recompilation per request thanks to prompt bucketing;
   * one jitted decode step advances every active slot (inactive slots are
     masked); finished sequences free their slot for the next request;
-  * per-slot positions: attention masks, cache writes and the
-    prune-on-window-exit rule are all vectorized over slots at different
-    sequence lengths.
+  * per-slot positions: attention masks, cache writes, the
+    prune-on-window-exit rule, and (compressed mode) per-slot chunk counts
+    plus vectorized chunk compaction all handle slots at different lengths.
 
-Works with the dense and masked cache modes (per-slot compressed pools need
-per-slot chunk counts in the Pallas kernels — tracked for the next round).
+Supports dense, masked (token policies), and compressed cache modes.
 """
 
 from __future__ import annotations
@@ -47,8 +46,10 @@ class ContinuousBatchingEngine:
 
     def __init__(self, engine: EngineConfig, params, dtype=jnp.bfloat16,
                  eos_id: Optional[int] = None, use_native: bool = True):
-        assert engine.cache_mode in (CacheMode.DENSE, CacheMode.MASKED), (
-            "continuous batching currently supports dense/masked caches")
+        if engine.cache_mode == CacheMode.MASKED:
+            vp = engine.prune.method.v_policy
+            assert vp not in ("channel_mag", "channel_opa"), (
+                "channel (Vc) pruning needs uniform positions")
         self.engine = engine
         self.cfg = engine.model
         self.params = params
@@ -124,11 +125,7 @@ class ContinuousBatchingEngine:
                 nxt = jnp.argmax(
                     jax.lax.dynamic_index_in_dim(logits, true_len - 1, 1, False),
                     axis=-1).astype(jnp.int32)          # [1]
-                cache = jax.tree.map(
-                    lambda full, one: jax.lax.dynamic_update_slice_in_dim(
-                        full, one.astype(full.dtype), slot_idx, axis=1)
-                    if one.ndim > 1 else full,
-                    cache, sub)
+                cache = impl.insert_slot(cache, sub, slot_idx)
                 return nxt[0], cache
 
             self._prefill_fns[key] = jax.jit(prefill_one)

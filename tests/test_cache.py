@@ -62,7 +62,7 @@ def test_prefill_chunking_and_window():
     lc = {key: val[0] for key, val in cache.items()}
     _, lc = impl.prefill_attend(lc, q, k, v, jnp.int32(true_len))
 
-    assert int(lc["n_chunks"]) == 2
+    assert int(lc["n_chunks"][0]) == 2
     # pools hold the exact-top-k pruned prefix
     KR = impl.kfmt.stream_rows
     k_dense = np.asarray(impl._decode_pool(lc["kv_pool"][:, :, :KR], impl.kfmt, B),
@@ -95,7 +95,7 @@ def test_decode_compaction_appends_chunk():
     cache = impl.init(B, jnp.float32)
     lc = {key: val[0] for key, val in cache.items()}
     _, lc = impl.prefill_attend(lc, q, k, v, jnp.int32(288))
-    assert int(lc["n_chunks"]) == 1
+    assert int(lc["n_chunks"][0]) == 1
 
     # decode steps until the window refills to r + C = 288 (need 256 steps)
     kept_k = []
@@ -109,9 +109,9 @@ def test_decode_compaction_appends_chunk():
         assert out.shape == (B, 1, Hq, D)
         pos += 1
         expect_chunks = 2 if pos >= 288 + 256 else 1
-        assert int(lc["n_chunks"]) == expect_chunks, (step, pos)
+        assert int(lc["n_chunks"][0]) == expect_chunks, (step, pos)
     # after compaction the window restarts with the residual (32 tokens)
-    win_len = pos - int(lc["n_chunks"]) * 256
+    win_len = pos - int(lc["n_chunks"][0]) * 256
     assert win_len == 32
     kw = np.asarray(lc["k_win"])[0]
     # window rows = the last 32 appended tokens

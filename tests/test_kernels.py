@@ -321,3 +321,47 @@ def test_fused_v6_matches_v4():
         ref = np.asarray(ska.fused_sparse_decode_attention_v4(*args, *tail), np.float32)
         got = np.asarray(ska.fused_sparse_decode_attention_v6(*args, *tail), np.float32)
         np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_fused_v6ps_per_slot_counts():
+    """Per-slot v6: each sequence attends only its own chunk count; result
+    matches per-sequence v4 calls."""
+    rs = np.random.RandomState(12)
+    B, Hkv, G = 2, 2, 4
+    Hq = Hkv * G
+    mc = 3
+    C, D = FMT.chunk, FMT.dim
+    W = 288
+    BH = B * Hkv
+    ncs = np.array([1, 3], np.int32)
+    wls = np.array([40, 90], np.int32)
+
+    k_pruned, *_ = make_case(rs, B, Hkv, G, mc, mc, W, 0)
+    v_pruned, *_ = make_case(rs, B, Hkv, G, mc, mc, W, 0)
+    k_win = rs.randn(B, W, Hkv, D).astype(np.float32)
+    v_win = rs.randn(B, W, Hkv, D).astype(np.float32)
+    for b in range(B):
+        k_win[b, wls[b]:] = 0
+        v_win[b, wls[b]:] = 0
+    q = rs.randn(B, 1, Hq, D).astype(np.float32)
+
+    kp = jnp.asarray(k_pruned.reshape(BH, mc, C, D), jnp.bfloat16)
+    vp = jnp.asarray(v_pruned.reshape(BH, mc, C, D), jnp.bfloat16)
+    pool = jnp.swapaxes(jnp.concatenate(
+        [sf.encode_stream(kp, FMT), sf.encode_stream(vp, FMT)], axis=-2), 0, 1)
+
+    got = np.asarray(ska.fused_sparse_decode_attention_v6ps(
+        jnp.asarray(q, jnp.bfloat16), pool,
+        jnp.asarray(k_win, jnp.bfloat16), jnp.asarray(v_win, jnp.bfloat16),
+        jnp.asarray(ncs), jnp.asarray(wls), FMT, FMT, mc), np.float32)
+
+    # reference: per-sequence v4 on sliced inputs
+    for b in range(B):
+        ref = np.asarray(ska.fused_sparse_decode_attention_v4(
+            jnp.asarray(q[b:b+1], jnp.bfloat16),
+            pool[:, b*Hkv:(b+1)*Hkv],
+            jnp.asarray(k_win[b:b+1], jnp.bfloat16),
+            jnp.asarray(v_win[b:b+1], jnp.bfloat16),
+            jnp.int32(int(ncs[b])), jnp.int32(int(wls[b])), FMT, FMT, mc),
+            np.float32)
+        np.testing.assert_allclose(got[b:b+1], ref, rtol=2e-2, atol=2e-2)

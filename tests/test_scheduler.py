@@ -83,3 +83,58 @@ def test_eos_frees_slot():
     assert uid in outs
     assert 3 not in outs[uid].tolist()
     assert all(r is None for r in cb.slot_req)
+
+
+def test_compressed_continuous_batching():
+    """Compressed cache in the scheduler: different-length requests crossing
+    compaction boundaries reproduce single-request Generator outputs."""
+    import dataclasses
+    from mustafar_tpu.config import TINY_LLAMA
+    model = dataclasses.replace(TINY_LLAMA, name="tiny128cb", num_heads=2,
+                                num_kv_heads=1, head_dim=128, hidden_size=128)
+    eng = EngineConfig(model=model, cache_mode=CacheMode.COMPRESSED,
+                       prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                                         k_sparsity=0.5, v_sparsity=0.5),
+                       max_seq_len=1024, prefill_bucket=256, chunk_size=256,
+                       batch_size=2)
+    params = init_params(model, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    rs = np.random.RandomState(4)
+    p1 = rs.randint(0, 512, size=120)    # no compressed chunks
+    p2 = rs.randint(0, 512, size=400)    # one compressed chunk at prefill
+    gen = Generator(eng, params, dtype=jnp.bfloat16)
+    want1 = gen.generate(p1[None], max_new_tokens=8)[0]
+    want2 = gen.generate(p2[None], max_new_tokens=8)[0]
+
+    cb = ContinuousBatchingEngine(eng, params, dtype=jnp.bfloat16)
+    u1, u2 = cb.submit(p1, 8), cb.submit(p2, 8)
+    outs = cb.run()
+    np.testing.assert_array_equal(outs[u1], want1)
+    np.testing.assert_array_equal(outs[u2], want2)
+
+
+def test_compressed_cb_decode_compaction_crossing():
+    """Per-slot vectorized compaction during decode must match the scalar-path
+    Generator: prompt 280 fills the window to 280; decode crosses the r+C=288
+    boundary and compacts mid-generation."""
+    import dataclasses
+    from mustafar_tpu.config import TINY_LLAMA
+    model = dataclasses.replace(TINY_LLAMA, name="tiny128cb2", num_heads=2,
+                                num_kv_heads=1, head_dim=128, hidden_size=128)
+    eng = EngineConfig(model=model, cache_mode=CacheMode.COMPRESSED,
+                       prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                                         k_sparsity=0.5, v_sparsity=0.5),
+                       max_seq_len=1024, prefill_bucket=256, chunk_size=256,
+                       batch_size=2)
+    params = init_params(model, jax.random.PRNGKey(2), dtype=jnp.bfloat16)
+    rs = np.random.RandomState(5)
+    p1 = rs.randint(0, 512, size=280)
+    p2 = rs.randint(0, 512, size=530)   # also crosses: win 530-256=274 -> 288
+    gen = Generator(eng, params, dtype=jnp.bfloat16)
+    want1 = gen.generate(p1[None], max_new_tokens=30)[0]
+    want2 = gen.generate(p2[None], max_new_tokens=30)[0]
+
+    cb = ContinuousBatchingEngine(eng, params, dtype=jnp.bfloat16)
+    u1, u2 = cb.submit(p1, 30), cb.submit(p2, 30)
+    outs = cb.run()
+    np.testing.assert_array_equal(outs[u1], want1)
+    np.testing.assert_array_equal(outs[u2], want2)
