@@ -35,10 +35,12 @@ from mustafar_tpu.ops.attention import causal_mask, mha, prefill_attention
 class DenseKVCache:
     """Baseline dense KV cache; also the base class for the masked cache."""
 
-    def __init__(self, engine: EngineConfig):
+    def __init__(self, engine: EngineConfig, use_pallas: bool | None = None):
         self.engine = engine
         self.model = engine.model
         self.window = self.model.sliding_window
+        self.use_pallas = ((jax.default_backend() == "tpu")
+                           if use_pallas is None else use_pallas)
 
     # -- state ------------------------------------------------------------
     def init(self, batch: int, dtype=jnp.bfloat16) -> dict:
@@ -101,9 +103,19 @@ class DenseKVCache:
             mask = kpos[None, None, :] <= pos[:, None, None]      # [B,1,S]
             if self.window is not None:
                 mask &= kpos[None, None, :] > (pos[:, None, None] - self.window)
+        if self.use_pallas and not self._needs_weights() \
+                and self.model.head_dim % 128 == 0:
+            from mustafar_tpu.ops.kernels.dense_decode import flash_decode_attention
+            out = flash_decode_attention(q, lc["k"], lc["v"], pos, self.window)
+            lc = self.decode_prune(lc, q, None, pos)
+            return out, lc
         out, w = mha(q, lc["k"], lc["v"], mask, return_weights=True)
         lc = self.decode_prune(lc, q, w, pos)
         return out, lc
+
+    def _needs_weights(self) -> bool:
+        """Opa value policies score with post-softmax weights (XLA path)."""
+        return False
 
     def decode_prune(self, lc, q, attn_w, pos):
         return lc
@@ -145,11 +157,14 @@ def _prune_block_at(buf: jnp.ndarray, start: jnp.ndarray, size: int, do: jnp.nda
 class MaskedKVCache(DenseKVCache):
     """Dense-storage cache with reference pruning semantics applied in place."""
 
-    def __init__(self, engine: EngineConfig):
-        super().__init__(engine)
+    def __init__(self, engine: EngineConfig, use_pallas: bool | None = None):
+        super().__init__(engine, use_pallas)
         p = engine.prune
         self.p = p
         self.method = p.method
+
+    def _needs_weights(self) -> bool:
+        return self.method.v_policy in ("token_opa", "channel_opa")
 
     # -- pruning policies (token axis is axis=1 of [B,T,H,D]; the prune ops
     #    act on [..., T, D] so we swap to [B,H,T,D] views where needed) ------
