@@ -39,8 +39,10 @@ class DenseKVCache:
         self.engine = engine
         self.model = engine.model
         self.window = self.model.sliding_window
-        self.use_pallas = ((jax.default_backend() == "tpu")
-                           if use_pallas is None else use_pallas)
+        # measured: XLA's fused decode attention beats the Pallas flash-decode
+        # kernel at dense shapes on v5e (710 vs 923 us at B=32/S=1024), so the
+        # kernel is opt-in (docs/PERFORMANCE.md).
+        self.use_pallas = False if use_pallas is None else use_pallas
 
     # -- state ------------------------------------------------------------
     def init(self, batch: int, dtype=jnp.bfloat16) -> dict:
