@@ -61,7 +61,10 @@ class CompressedKVCache:
         self.kfmt = sf.ChunkFormat(C, m.head_dim, p.kept_per_row(m.head_dim, p.k_sparsity))
         self.vfmt = sf.ChunkFormat(C, m.head_dim, p.kept_per_row(m.head_dim, p.v_sparsity))
         self.window = m.sliding_window
-        assert self.window is None, "sliding window + compressed cache: todo"
+        if self.window is not None:
+            assert self.window >= self.wcap, (
+                f"sliding window ({self.window}) must cover the dense residual "
+                f"window capacity ({self.wcap})")
         # pallas decode kernels on TPU; interpret/XLA path elsewhere
         self.use_pallas = (jax.default_backend() == "tpu") if use_pallas is None else use_pallas
 
@@ -123,7 +126,7 @@ class CompressedKVCache:
     # -- prefill ----------------------------------------------------------
     def prefill_attend(self, lc, q, k, v, true_len):
         B, T, Hq, D = q.shape
-        out = prefill_attention(q, k, v, true_len, None)
+        out = prefill_attention(q, k, v, true_len, self.window)
 
         C, r = self.C, self.r
         comp_len = jnp.maximum(true_len - r, 0) // C * C       # reference :416
@@ -179,7 +182,8 @@ class CompressedKVCache:
             from mustafar_tpu.ops.kernels import sparse_attention as ska
             out = ska.fused_sparse_decode_attention_v6(
                 q, lc["kv_pool"], lc["k_win"], lc["v_win"], n_chunks, win_len,
-                self.kfmt, self.vfmt, self.max_chunks, hpb=16)
+                self.kfmt, self.vfmt, self.max_chunks, hpb=16,
+                window=self.window)
         else:
             out = self._decode_attend_xla(lc, q, n_chunks, win_len, B, Hkv, D)
 
@@ -199,6 +203,10 @@ class CompressedKVCache:
 
     def _decode_attend_per_slot(self, lc, q, k, v, pos):
         """Per-slot decode: pos [B]; n_chunks [B]; vectorized compaction."""
+        if self.window is not None:
+            raise NotImplementedError(
+                "sliding window + compressed continuous batching: the per-slot "
+                "kernel (v6ps) lacks window masking — tracked for next round")
         B, _, Hq, D = q.shape
         Hkv = self.model.num_kv_heads
         C, r = self.C, self.r
@@ -257,8 +265,11 @@ class CompressedKVCache:
 
         s_comp = jnp.einsum("bhgd,bhsd->bhgs", qg, k_dense,
                             preferred_element_type=jnp.float32) * scale
-        s_comp = jnp.where(jnp.arange(S)[None, None, None, :] < nc_b * self.C,
-                           s_comp, NEG_INF)
+        comp_valid = jnp.arange(S)[None, None, None, :] < nc_b * self.C
+        if self.window is not None:
+            low = nc_b * self.C + wl_b - 1 - self.window
+            comp_valid &= jnp.arange(S)[None, None, None, :] > low
+        s_comp = jnp.where(comp_valid, s_comp, NEG_INF)
         kw = jnp.transpose(lc["k_win"], (0, 2, 1, 3))            # [B,Hkv,W,D]
         s_win = jnp.einsum("bhgd,bhwd->bhgw", qg, kw,
                            preferred_element_type=jnp.float32) * scale

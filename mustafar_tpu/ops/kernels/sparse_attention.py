@@ -935,7 +935,7 @@ def fused_sparse_decode_attention_v5(q, kv_pool, k_win, v_win, n_chunks,
 def _fused_v6_kernel(scalars_ref, pool_hbm, q_ref, out_ref, m_out, l_out,
                      buf, sems, m_ref, l_ref, acc_ref,
                      *, kfmt: ChunkFormat, vfmt: ChunkFormat, hpb: int,
-                     scale: float):
+                     scale: float, window: int | None = None):
     nc = scalars_ref[0]
     b = pl.program_id(0)
     h0 = b * hpb
@@ -961,6 +961,8 @@ def _fused_v6_kernel(scalars_ref, pool_hbm, q_ref, out_ref, m_out, l_out,
     hrow_q = jax.lax.broadcasted_iota(jnp.int32, (HG, HC), 0) // G8
     hrow_k = jax.lax.broadcasted_iota(jnp.int32, (HG, HC), 1) // C
     blk = hrow_q == hrow_k
+    tcol = jax.lax.broadcasted_iota(jnp.int32, (HG, HC), 1) % C
+    win_len = scalars_ref[1]
 
     def chunk_body(ci, _):
         slot = ci % 2
@@ -974,7 +976,12 @@ def _fused_v6_kernel(scalars_ref, pool_hbm, q_ref, out_ref, m_out, l_out,
         vd = _expand_stream_rows_batched(buf[slot], vfmt, hpb, KR)
         s = jax.lax.dot_general(q_all, kd, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        s = jnp.where(blk, s, -1e30)
+        mask = blk
+        if window is not None:
+            # newest position pos = nc*C + win_len - 1; keep cols > pos - window
+            low = nc * C + win_len - 1 - window
+            mask = mask & ((ci * C + tcol) > low)
+        s = jnp.where(mask, s, -1e30)
         m_old = m_ref[:].reshape(HG, 128)
         m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new[:, :1])
@@ -997,9 +1004,11 @@ def _fused_v6_kernel(scalars_ref, pool_hbm, q_ref, out_ref, m_out, l_out,
 def fused_sparse_decode_attention_v6(q, kv_pool, k_win, v_win, n_chunks,
                                      win_len, kfmt: ChunkFormat,
                                      vfmt: ChunkFormat, max_chunks: int,
-                                     hpb: int = 8):
+                                     hpb: int = 8, window: int | None = None):
     """v6: pools-only Pallas kernel + XLA window attention + flash merge.
-    Same contract as v4/v5."""
+    Same contract as v4/v5; ``window`` enables sliding-window masking of the
+    compressed chunks (residual-window tokens are always inside any
+    window >= wcap — asserted by the cache)."""
     B, _, Hq, D = q.shape
     W = k_win.shape[1]
     Hkv = k_win.shape[2]
@@ -1040,7 +1049,7 @@ def fused_sparse_decode_attention_v6(q, kv_pool, k_win, v_win, n_chunks,
     )
     acc, m_c, l_c = pl.pallas_call(
         functools.partial(_fused_v6_kernel, kfmt=kfmt, vfmt=vfmt, hpb=hpb,
-                          scale=float(1.0 / np.sqrt(D))),
+                          scale=float(1.0 / np.sqrt(D)), window=window),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((BH, G8, D), jnp.float32),
                    jax.ShapeDtypeStruct((BH, G8, 1), jnp.float32),

@@ -47,9 +47,12 @@ class ContinuousBatchingEngine:
     def __init__(self, engine: EngineConfig, params, dtype=jnp.bfloat16,
                  eos_id: Optional[int] = None, use_native: bool = True):
         if engine.cache_mode == CacheMode.MASKED:
-            vp = engine.prune.method.v_policy
-            assert vp not in ("channel_mag", "channel_opa"), (
-                "channel (Vc) pruning needs uniform positions")
+            m = engine.prune.method
+            assert m.v_policy not in ("channel_mag", "channel_opa") and \
+                m.k_policy != "token_opa" and m.v_policy != "token_opa", (
+                "channel (Vc) and output-aware (Opa) pruning need uniform "
+                "positions (single-shot Generator); continuous batching "
+                "supports dense, masked token-magnitude, and compressed modes")
         self.engine = engine
         self.cfg = engine.model
         self.params = params

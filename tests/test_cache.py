@@ -177,3 +177,34 @@ def test_exact_keep_fast_mode():
     prompt = np.random.RandomState(0).randint(0, 512, size=(1, 300))
     out = Generator(eng, params, dtype=jnp.bfloat16).generate(prompt, 12)
     assert len(out[0]) == 12
+
+
+def test_compressed_sliding_window_lossless_matches_dense():
+    """Sliding-window model, sparsity 0: compressed generation must equal the
+    dense engine's token-for-token (validates window masking of chunks)."""
+    model = dataclasses.replace(MODEL128, name="tiny128swa", sliding_window=320)
+    params = init_params(model, jax.random.PRNGKey(3), dtype=jnp.bfloat16)
+    prompt = np.random.RandomState(6).randint(0, 512, size=(1, 420))
+
+    dense_eng = EngineConfig(model=model, cache_mode=CacheMode.DENSE,
+                             max_seq_len=1024, prefill_bucket=256)
+    dense = Generator(dense_eng, params, dtype=jnp.bfloat16).generate(prompt, 30)
+
+    comp_eng = EngineConfig(model=model, cache_mode=CacheMode.COMPRESSED,
+                            prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                                              k_sparsity=0.0, v_sparsity=0.0),
+                            max_seq_len=1024, prefill_bucket=256, chunk_size=256)
+    comp = Generator(comp_eng, params, dtype=jnp.bfloat16).generate(prompt, 30)
+    np.testing.assert_array_equal(dense[0], comp[0])
+
+
+def test_compressed_sliding_window_sparse_runs():
+    model = dataclasses.replace(MODEL128, name="tiny128swa2", sliding_window=512)
+    params = init_params(model, jax.random.PRNGKey(4), dtype=jnp.bfloat16)
+    prompt = np.random.RandomState(7).randint(0, 512, size=(1, 600))
+    eng = EngineConfig(model=model, cache_mode=CacheMode.COMPRESSED,
+                       prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                                         k_sparsity=0.7, v_sparsity=0.7),
+                       max_seq_len=1024, prefill_bucket=256, chunk_size=256)
+    out = Generator(eng, params, dtype=jnp.bfloat16).generate(prompt, 16)
+    assert len(out[0]) == 16
