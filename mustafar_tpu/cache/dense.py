@@ -338,20 +338,23 @@ class MaskedKVCache(DenseKVCache):
     # residual window and prunes each token with its accumulated score at the
     # moment it exits (key_score_accumulator [B,G,gs,D]
     # llama_mustafar_Kt_Opa_Vt_Mag.py:121-178,709-710; value accumulator
-    # llama_mustafar_Kt_Mag_Vt_Opa.py:115-260).  We carry the accumulators in
-    # the cache state and index them by absolute position modulo window.
+    # llama_mustafar_Kt_Mag_Vt_Opa.py:115-260).  We carry ring-buffer
+    # accumulators of exactly window size (slot = absolute index mod r):
+    # per step, the exiting token is pruned with its accumulated score, its
+    # slot is zeroed for the incoming token, and the current step's scores
+    # are added for the r tokens now in the window — O(r) work and memory
+    # (the reference equivalently shifts a [*, gs, D] buffer).
 
     def extra_state(self, batch: int, dtype) -> dict:
         m = self.model
+        r = self.p.residual_length
         st = {}
         if self.method.k_policy == "token_opa":
             st["k_score"] = jnp.zeros(
-                (m.num_layers, batch, self.engine.max_seq_len, m.num_kv_heads, m.head_dim),
-                jnp.float32)
+                (m.num_layers, batch, r, m.num_kv_heads, m.head_dim), jnp.float32)
         if self.method.v_policy in ("token_opa", "channel_opa"):
             st["v_score"] = jnp.zeros(
-                (m.num_layers, batch, self.engine.max_seq_len, m.num_kv_heads, m.head_dim),
-                jnp.float32)
+                (m.num_layers, batch, r, m.num_kv_heads, m.head_dim), jnp.float32)
         return st
 
     def _fold_q_abs(self, q):
@@ -359,52 +362,106 @@ class MaskedKVCache(DenseKVCache):
         Hkv = self.model.num_kv_heads
         return jnp.abs(q.astype(jnp.float32)).reshape(B, T, Hkv, Hq // Hkv, D).mean(axis=3)
 
+    def _window_geometry(self, pos, B):
+        """Ring indexing for the r window tokens [pos-r+1 .. pos] (post-append).
+
+        Returns (abs_idx [B, r], slots [B, r], valid [B, r])."""
+        r = self.p.residual_length
+        pos_v = jnp.broadcast_to(jnp.asarray(pos).reshape(-1), (B,))
+        abs_idx = pos_v[:, None] - (r - 1) + jnp.arange(r)[None, :]   # [B, r]
+        valid = abs_idx >= 0
+        slots = jnp.mod(abs_idx, r)
+        return abs_idx, slots, valid, pos_v
+
+    def _ring_prune_row(self, buf, score_ring, exit_idx, sparsity):
+        """Prune cache row exit_idx by its ring score; zero its slot after."""
+        r = self.p.residual_length
+        B = buf.shape[0]
+        bidx = jnp.arange(B)
+        exit_v = jnp.broadcast_to(jnp.asarray(exit_idx).reshape(-1), (B,))
+        cidx = jnp.maximum(exit_v, 0)
+        slot = jnp.mod(cidx, r)
+        row = buf[bidx, cidx][:, None]                         # [B,1,H,D]
+        srow = score_ring[bidx, slot][:, None]                 # [B,1,H,D]
+        pruned = pruning.prune_by_score_lastdim(row, srow, sparsity)
+        new_row = jnp.where(exit_v[:, None, None, None] >= 0, pruned, row)
+        buf = buf.at[bidx, cidx].set(new_row[:, 0].astype(buf.dtype))
+        score_ring = score_ring.at[bidx, slot].set(0.0)
+        return buf, score_ring
+
+    def _ring_accumulate(self, score_ring, step_scores, slots, valid):
+        """Scatter-add step_scores [B, r, H, D] into ring slots (masked)."""
+        B = score_ring.shape[0]
+        bidx = jnp.arange(B)[:, None]
+        contrib = jnp.where(valid[:, :, None, None], step_scores, 0.0)
+        return score_ring.at[bidx, slots].add(contrib)
+
+    def _window_rows(self, buf, abs_idx):
+        """Gather cache rows at abs_idx [B, r] -> [B, r, H, D]."""
+        take = jnp.maximum(abs_idx, 0)[:, :, None, None]
+        return jnp.take_along_axis(buf, take, axis=1)
+
     def _decode_prune_k_opa(self, lc, q, exit_idx):
-        # accumulate |q| * |k| score for every cached token each step; prune the
-        # exiting token by its accumulated score.
-        qa = self._fold_q_abs(q)[:, 0]                      # [B,Hkv,D]
-        S = lc["k"].shape[1]
-        step_score = jnp.abs(qa[:, None] * lc["k"].astype(jnp.float32))  # [B,S,Hkv,D]
-        lc["k_score"] = lc["k_score"] + step_score
-        cidx = jnp.maximum(exit_idx, 0)
-        row = jax.lax.dynamic_slice_in_dim(lc["k"], cidx, 1, axis=1)
-        srow = jax.lax.dynamic_slice_in_dim(lc["k_score"], cidx, 1, axis=1)
-        pruned = pruning.prune_by_score_lastdim(row, srow, self.p.k_sparsity)
-        new_row = jnp.where(exit_idx >= 0, pruned, row).astype(row.dtype)
-        lc["k"] = jax.lax.dynamic_update_slice_in_dim(lc["k"], new_row, cidx, axis=1)
+        B = lc["k"].shape[0]
+        pos = jnp.asarray(exit_idx) + self.p.residual_length
+        lc["k"], lc["k_score"] = self._ring_prune_row(
+            lc["k"], lc["k_score"], exit_idx, self.p.k_sparsity)
+        abs_idx, slots, valid, _ = self._window_geometry(pos, B)
+        qa = self._fold_q_abs(q)[:, 0]                          # [B,Hkv,D]
+        rows = self._window_rows(lc["k"], abs_idx).astype(jnp.float32)
+        step = jnp.abs(qa[:, None] * rows)                      # [B,r,Hkv,D]
+        lc["k_score"] = self._ring_accumulate(lc["k_score"], step, slots, valid)
         return lc
 
-    def _decode_prune_v_opa(self, lc, attn_w, exit_idx):
-        # attn_w: [B,1,Hq,S] fp32; fold to kv heads, score = |w * v|.
+    def _fold_w_kv(self, attn_w):
         B, _, Hq, S = attn_w.shape
         Hkv = self.model.num_kv_heads
-        w_kv = attn_w.reshape(B, Hkv, Hq // Hkv, S).sum(axis=2)          # [B,Hkv,S]
-        step = jnp.abs(jnp.swapaxes(w_kv, 1, 2)[..., None] * lc["v"].astype(jnp.float32))
-        lc["v_score"] = lc["v_score"] + step
-        cidx = jnp.maximum(exit_idx, 0)
-        row = jax.lax.dynamic_slice_in_dim(lc["v"], cidx, 1, axis=1)
-        srow = jax.lax.dynamic_slice_in_dim(lc["v_score"], cidx, 1, axis=1)
-        pruned = pruning.prune_by_score_lastdim(row, srow, self.p.v_sparsity)
-        new_row = jnp.where(exit_idx >= 0, pruned, row).astype(row.dtype)
-        lc["v"] = jax.lax.dynamic_update_slice_in_dim(lc["v"], new_row, cidx, axis=1)
+        return attn_w.reshape(B, Hkv, Hq // Hkv, S).sum(axis=2)  # [B,Hkv,S]
+
+    def _decode_prune_v_opa(self, lc, attn_w, exit_idx):
+        B = lc["v"].shape[0]
+        pos = jnp.asarray(exit_idx) + self.p.residual_length
+        lc["v"], lc["v_score"] = self._ring_prune_row(
+            lc["v"], lc["v_score"], exit_idx, self.p.v_sparsity)
+        abs_idx, slots, valid, _ = self._window_geometry(pos, B)
+        w_kv = self._fold_w_kv(attn_w)                          # [B,Hkv,S]
+        w_win = jnp.take_along_axis(
+            w_kv, jnp.maximum(abs_idx, 0)[:, None, :], axis=2)  # [B,Hkv,r]
+        rows = self._window_rows(lc["v"], abs_idx).astype(jnp.float32)
+        step = jnp.abs(jnp.swapaxes(w_win, 1, 2)[..., None] * rows)
+        lc["v_score"] = self._ring_accumulate(lc["v_score"], step, slots, valid)
         return lc
 
     def _decode_prune_v_channel_opa(self, lc, attn_w, exit_idx):
-        B, _, Hq, S = attn_w.shape
-        Hkv = self.model.num_kv_heads
-        w_kv = attn_w.reshape(B, Hkv, Hq // Hkv, S).sum(axis=2)
-        step = jnp.abs(jnp.swapaxes(w_kv, 1, 2)[..., None] * lc["v"].astype(jnp.float32))
-        lc["v_score"] = lc["v_score"] + step
+        """Channel-Opa: accumulate like v_opa; prune the exiting group (token
+        axis per channel) with ring scores when the boundary crosses."""
+        B, S = lc["v"].shape[0], lc["v"].shape[1]
+        r = self.p.residual_length
         gs = self.p.group_size
+        pos = jnp.asarray(exit_idx) + r
+        assert jnp.asarray(exit_idx).ndim == 0, (
+            "channel-Opa needs uniform positions")
+        # prune exiting group when boundary crosses (scores first, then zero)
         boundary = jnp.logical_and(exit_idx >= gs - 1, (exit_idx - (gs - 1)) % gs == 0)
         start = jnp.clip(exit_idx - (gs - 1), 0, S - gs)
         blk = jax.lax.dynamic_slice_in_dim(lc["v"], start, gs, axis=1)
-        sblk = jax.lax.dynamic_slice_in_dim(lc["v_score"], start, gs, axis=1)
+        g_idx = start + jnp.arange(gs)
+        g_slots = jnp.mod(g_idx, r)
+        sblk = lc["v_score"][:, g_slots]                        # [B,gs,H,D]
         pruned = jnp.swapaxes(
             pruning.prune_channel_by_score(jnp.swapaxes(blk, 1, 2),
                                            jnp.swapaxes(sblk, 1, 2),
                                            self.p.v_sparsity, gs), 1, 2)
-        new_blk = jnp.where(jnp.logical_and(boundary, exit_idx >= gs - 1),
-                            pruned, blk).astype(blk.dtype)
+        new_blk = jnp.where(boundary, pruned, blk).astype(blk.dtype)
         lc["v"] = jax.lax.dynamic_update_slice_in_dim(lc["v"], new_blk, start, axis=1)
+        zeroed = jnp.where(boundary, 0.0, sblk)
+        lc["v_score"] = lc["v_score"].at[:, g_slots].set(zeroed)
+        # accumulate current step for the window tokens
+        abs_idx, slots, valid, _ = self._window_geometry(pos, B)
+        w_kv = self._fold_w_kv(attn_w)
+        w_win = jnp.take_along_axis(
+            w_kv, jnp.maximum(abs_idx, 0)[:, None, :], axis=2)
+        rows = self._window_rows(lc["v"], abs_idx).astype(jnp.float32)
+        step = jnp.abs(jnp.swapaxes(w_win, 1, 2)[..., None] * rows)
+        lc["v_score"] = self._ring_accumulate(lc["v_score"], step, slots, valid)
         return lc

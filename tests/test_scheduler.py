@@ -138,3 +138,23 @@ def test_compressed_cb_decode_compaction_crossing():
     outs = cb.run()
     np.testing.assert_array_equal(outs[u1], want1)
     np.testing.assert_array_equal(outs[u2], want2)
+
+
+def test_opa_continuous_batching_matches_generator():
+    """Token-Opa (ring accumulators) under per-slot positions must match the
+    single-request Generator."""
+    eng, params = _setup(cache_mode=CacheMode.MASKED)
+    eng = EngineConfig(**{**eng.__dict__,
+                          "prune": PruneConfig(method=PruneMethod.KT_OPA_VT_MAG,
+                                               k_sparsity=0.5, v_sparsity=0.5)})
+    rs = np.random.RandomState(6)
+    p1 = rs.randint(0, 512, size=70)
+    p2 = rs.randint(0, 512, size=100)
+    gen = Generator(eng, params, dtype=jnp.float32)
+    want1 = gen.generate(p1[None], max_new_tokens=8)[0]
+    want2 = gen.generate(p2[None], max_new_tokens=8)[0]
+    cb = ContinuousBatchingEngine(eng, params, dtype=jnp.float32)
+    u1, u2 = cb.submit(p1, 8), cb.submit(p2, 8)
+    outs = cb.run()
+    np.testing.assert_array_equal(outs[u1], want1)
+    np.testing.assert_array_equal(outs[u2], want2)
