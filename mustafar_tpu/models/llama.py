@@ -81,12 +81,16 @@ def _layer(cfg: ModelConfig, lp: dict, x: jnp.ndarray, cos, sin, attend_fn, lc):
 
 
 def forward(cfg: ModelConfig, params: dict, tokens: jnp.ndarray, cache: Any,
-            cache_impl, positions: jnp.ndarray, mode: str, aux) -> tuple[jnp.ndarray, Any]:
+            cache_impl, positions: jnp.ndarray, mode: str, aux,
+            last_only: bool = False) -> tuple[jnp.ndarray, Any]:
     """Shared forward: mode in {"prefill", "decode"}.
 
     tokens: [B, T] int32; positions: [T] int32 absolute positions; aux is
     ``true_len`` (prefill) or ``pos`` (decode) passed to the cache impl.
-    Returns (logits [B, T, V], new cache).
+    ``last_only`` computes the LM head only at position ``true_len - 1``
+    (returns [B, 1, V]) — the full-vocab logits for every prompt position are
+    [B, T, V] fp32 (e.g. 14.7 GiB at B=32/T=3.5k/V=32k) and only the last row
+    feeds generation.  Returns (logits, new cache).
     """
     x = params["embed"][tokens]
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
@@ -105,15 +109,19 @@ def forward(cfg: ModelConfig, params: dict, tokens: jnp.ndarray, cache: Any,
 
     x, new_cache = jax.lax.scan(body, x, (params["layers"], cache))
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    if last_only:
+        x = jax.lax.dynamic_slice_in_dim(x, jnp.maximum(aux - 1, 0), 1, axis=1)
     head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
     logits = (x @ head.astype(x.dtype)).astype(jnp.float32)
     return logits, new_cache
 
 
-def prefill(cfg: ModelConfig, params, tokens, cache, cache_impl, true_len):
+def prefill(cfg: ModelConfig, params, tokens, cache, cache_impl, true_len,
+            last_only: bool = False):
     """tokens [B, Tpad]; true_len scalar (uniform valid length, left-aligned)."""
     positions = jnp.arange(tokens.shape[1])
-    return forward(cfg, params, tokens, cache, cache_impl, positions, "prefill", true_len)
+    return forward(cfg, params, tokens, cache, cache_impl, positions, "prefill",
+                   true_len, last_only=last_only)
 
 
 def decode_step(cfg: ModelConfig, params, token, cache, cache_impl, pos):

@@ -55,17 +55,22 @@ def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float,
 
 
 def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    """[-x2, x1] via roll+sign — avoids 64-lane-wide temporaries, which XLA
+    pads 2x on TPU (measured 1.75 GiB HLO temps at B=32/T=3.5k prefill)."""
     half = x.shape[-1] // 2
-    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+    sign = jnp.concatenate([-jnp.ones((half,), x.dtype),
+                            jnp.ones((half,), x.dtype)])
+    return jnp.roll(x, half, axis=-1) * sign
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
     """Apply rotary embedding.
 
-    x: [..., T, num_heads, head_dim]; cos/sin: [..., T, head_dim] (broadcast over heads).
-    Computation in float32, cast back to x.dtype.
+    x: [..., T, num_heads, head_dim]; cos/sin: [..., T, head_dim] (broadcast
+    over heads).  Computation in x.dtype — HF casts cos/sin to the hidden
+    dtype and rotates in it (bf16 for bf16 models), and keeping bf16 here
+    halves prefill HLO temp memory.
     """
-    xf = x.astype(jnp.float32)
-    c = cos[..., :, None, :]
-    s = sin[..., :, None, :]
-    return (xf * c + _rotate_half(xf) * s).astype(x.dtype)
+    c = cos.astype(x.dtype)[..., :, None, :]
+    s = sin.astype(x.dtype)[..., :, None, :]
+    return x * c + _rotate_half(x) * s

@@ -26,9 +26,9 @@ def _generate_impl(cfg, cache_impl, max_new: int, eos_id: Optional[int], dtype,
                    params, tokens, true_len):
     B = tokens.shape[0]
     cache = cache_impl.init(B, dtype)
-    logits, cache = llama.prefill(cfg, params, tokens, cache, cache_impl, true_len)
-    last = jax.lax.dynamic_index_in_dim(logits, true_len - 1, axis=1, keepdims=False)
-    next_tok = jnp.argmax(last, axis=-1).astype(jnp.int32)   # [B]
+    logits, cache = llama.prefill(cfg, params, tokens, cache, cache_impl,
+                                  true_len, last_only=True)
+    next_tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)   # [B]
 
     out = jnp.zeros((B, max_new), jnp.int32)
     out = out.at[:, 0].set(next_tok)

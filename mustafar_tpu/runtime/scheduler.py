@@ -123,10 +123,8 @@ class ContinuousBatchingEngine:
             def prefill_one(params, toks, true_len, cache, slot_idx):
                 sub = impl.init(1, self.dtype)
                 logits, sub = llama.prefill(self.cfg, params, toks, sub,
-                                            impl, true_len)
-                nxt = jnp.argmax(
-                    jax.lax.dynamic_index_in_dim(logits, true_len - 1, 1, False),
-                    axis=-1).astype(jnp.int32)          # [1]
+                                            impl, true_len, last_only=True)
+                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)  # [1]
                 cache = impl.insert_slot(cache, sub, slot_idx)
                 return nxt[0], cache
 

@@ -208,3 +208,17 @@ def test_compressed_sliding_window_sparse_runs():
                        max_seq_len=1024, prefill_bucket=256, chunk_size=256)
     out = Generator(eng, params, dtype=jnp.bfloat16).generate(prompt, 16)
     assert len(out[0]) == 16
+
+
+def test_compressed_mha_generation():
+    """MHA-style (G=1, Hkv=Hq) compressed generation (llama-2 head geometry)."""
+    model = dataclasses.replace(TINY_LLAMA, name="tiny-mha128", num_heads=2,
+                                num_kv_heads=2, head_dim=128, hidden_size=256)
+    params = init_params(model, jax.random.PRNGKey(5), dtype=jnp.bfloat16)
+    prompt = np.random.RandomState(8).randint(0, 512, size=(2, 300))
+    eng = EngineConfig(model=model, cache_mode=CacheMode.COMPRESSED,
+                       prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                                         k_sparsity=0.7, v_sparsity=0.7),
+                       max_seq_len=1024, prefill_bucket=256, chunk_size=256)
+    out = Generator(eng, params, dtype=jnp.bfloat16).generate(prompt, 16)
+    assert all(len(o) == 16 for o in out)
