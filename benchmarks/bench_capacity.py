@@ -32,9 +32,12 @@ def try_engine(name, eng, params, prompt, gen_tokens):
         print(f"{name}: {toks/dt:.1f} tok/s ({dt:.2f}s per generate)", flush=True)
         return toks / dt
     except Exception as e:
-        msg = str(e)
-        oom = "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg or "exceeds" in msg
-        print(f"{name}: {'OOM' if oom else 'FAILED'} ({msg[:160]})", flush=True)
+        import re
+        m = re.search(r"Ran out of memory[^\n]*", str(e))
+        if m:
+            print(f"{name}: OOM ({m.group(0)})", flush=True)
+        else:
+            print(f"{name}: FAILED ({str(e)[:200]})", flush=True)
         return None
 
 
@@ -43,10 +46,11 @@ def main():
                                      PruneConfig, PruneMethod)
     from mustafar_tpu.models.llama import init_params
 
-    layers = 16
+    layers = 15   # fitted so the sparse engine runs with ~0.5 GiB margin;
+    # the dense KV cache at this workload needs +4.2 GiB and cannot fit.
     cfg = dataclasses.replace(LLAMA3_8B, num_layers=layers, vocab_size=32000)
     B, prompt_len, gen_tokens = 32, 3584, 256
-    max_seq = 3872  # 3584 + 256 + slack; chunks: (3872-32)//256 = 15
+    max_seq = 3848  # 3584 + 256 + slack; chunks: (3848-32)//256 = 14
 
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     params = jax.block_until_ready(params)
