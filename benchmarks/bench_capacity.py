@@ -46,8 +46,7 @@ def main():
                                      PruneConfig, PruneMethod)
     from mustafar_tpu.models.llama import init_params
 
-    layers = 15   # fitted so the sparse engine runs with ~0.5 GiB margin;
-    # the dense KV cache at this workload needs +4.2 GiB and cannot fit.
+    layers = 16
     cfg = dataclasses.replace(LLAMA3_8B, num_layers=layers, vocab_size=32000)
     B, prompt_len, gen_tokens = 32, 3584, 256
     max_seq = 3848  # 3584 + 256 + slack; chunks: (3848-32)//256 = 14

@@ -64,6 +64,27 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict:
     return params
 
 
+_MLP_SEG = 512  # prefill MLP token-segment size (bounds the [B, T, I] temp)
+
+
+def _mlp(lp: dict, h: jnp.ndarray) -> jnp.ndarray:
+    """SwiGLU MLP, token-segmented for long prefill.
+
+    The full-length gate*up intermediate is [B, T, I] (3.06 GiB at
+    B=32/T=3.5k/I=14336 — measured the top HLO temp); computing it in
+    _MLP_SEG-token segments bounds the temp without touching cache logic.
+    """
+    B, T, H = h.shape
+    if T <= _MLP_SEG or T % _MLP_SEG:
+        return (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+    n = T // _MLP_SEG
+    hs = jnp.swapaxes(h.reshape(B, n, _MLP_SEG, H), 0, 1)      # [n, B, seg, H]
+    out = jax.lax.map(
+        lambda seg: (jax.nn.silu(seg @ lp["w_gate"]) * (seg @ lp["w_up"]))
+        @ lp["w_down"], hs)
+    return jnp.swapaxes(out, 0, 1).reshape(B, T, H)
+
+
 def _layer(cfg: ModelConfig, lp: dict, x: jnp.ndarray, cos, sin, attend_fn, lc):
     """One decoder layer. x: [B,T,H]; attend_fn(lc, q, k, v) -> (out, lc)."""
     B, T, H = x.shape
@@ -76,7 +97,7 @@ def _layer(cfg: ModelConfig, lp: dict, x: jnp.ndarray, cos, sin, attend_fn, lc):
     attn_out, lc = attend_fn(lc, q, kk, vv)
     x = x + attn_out.reshape(B, T, cfg.q_dim) @ lp["wo"]
     h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-    x = x + (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+    x = x + _mlp(lp, h)
     return x, lc
 
 
