@@ -1,9 +1,9 @@
 """Capacity benchmark: the workload class the compressed cache unlocks.
 
-At B=32 and ~4k context with Llama-3-8B geometry (16 layers fitted to one
-v5e-lite), the dense bf16 KV cache needs ~4.2 GiB next to ~8 GiB of weights
-plus activation workspace — while the compressed cache needs ~1.7 GiB.  This
-bench runs BOTH engines at the same workload and reports throughput or OOM,
+At B=32 and ~3.6k context with Llama-3-8B geometry (16 layers fitted to one
+v5e-lite), the dense bf16 KV cache needs ~7.6 GiB next to ~8 GiB of weights —
+over HBM — while the compressed cache needs ~3.0 GiB and runs.  This bench
+runs BOTH engines at the same workload and reports throughput or OOM,
 demonstrating the memory headline (2.67x KV reduction) as end-to-end
 capacity/batch headroom.
 
@@ -46,7 +46,7 @@ def main():
                                      PruneConfig, PruneMethod)
     from mustafar_tpu.models.llama import init_params
 
-    layers = 16
+    layers = 15
     cfg = dataclasses.replace(LLAMA3_8B, num_layers=layers, vocab_size=32000)
     B, prompt_len, gen_tokens = 32, 3584, 256
     max_seq = 3848  # 3584 + 256 + slack; chunks: (3848-32)//256 = 14

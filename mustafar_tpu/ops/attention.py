@@ -58,14 +58,13 @@ def prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         # GQA: one flash call per query-head group against the shared K/V —
         # materializing repeat_kv'd K/V costs ~2.9 GiB at B=32/T=3.5k
         # (measured); per-group calls need no expansion at all.
-        qs = q.reshape(B, T, Hkv, G, D)
-        outs = []
-        for g in range(G):
-            qh = jnp.swapaxes(qs[:, :, :, g, :], 1, 2)         # [B, Hkv, T, D]
-            o = flash_attention(qh, kh, vh, causal=True,
-                                sm_scale=float(1.0 / np.sqrt(D)))
-            outs.append(jnp.swapaxes(o, 1, 2))                 # [B, T, Hkv, D]
-        out = jnp.stack(outs, axis=3).reshape(B, T, Hq, D)     # group-major per kv-head
+        qs = jnp.transpose(q.reshape(B, T, Hkv, G, D), (3, 0, 2, 1, 4))
+        # lax.map keeps one group's temporaries live at a time
+        out_g = jax.lax.map(
+            lambda qh: flash_attention(qh, kh, vh, causal=True,
+                                       sm_scale=float(1.0 / np.sqrt(D))),
+            qs)                                                # [G, B, Hkv, T, D]
+        out = jnp.transpose(out_g, (1, 3, 2, 0, 4)).reshape(B, T, Hq, D)
         return out.astype(q.dtype)
     pos = jnp.arange(T)
     mask = causal_mask(pos, pos, true_len, window)
