@@ -1057,20 +1057,24 @@ def fused_sparse_decode_attention_v6(q, kv_pool, k_win, v_win, n_chunks,
         interpret=_interpret(),
     )(scalars, kv_pool, qb)
 
-    # XLA window attention partials
-    kw = jnp.transpose(k_win, (0, 2, 1, 3)).reshape(BH, W, D)
-    vw = jnp.transpose(v_win, (0, 2, 1, 3)).reshape(BH, W, D)
+    # XLA window attention partials — transpose-free einsums on the native
+    # [B, W, Hkv, D] window layout (pre-transposing to [BH, W, D] cost ~2
+    # relayouts of 19 MB each per call)
     scale = 1.0 / jnp.sqrt(jnp.float32(D))
-    s_w = jax.lax.dot_general(qpad.astype(jnp.float32), kw.astype(jnp.float32),
-                              (((2,), (2,)), ((0,), (0,)))) * scale
-    s_w = jnp.where((jnp.arange(W) < win_len)[None, None, :], s_w, -jnp.inf)
-    m_w = jnp.max(s_w, axis=-1, keepdims=True)                  # [BH, G8, 1]
+    qw = qpad.reshape(B, Hkv, G8, D)
+    s_w = jnp.einsum("bhgd,bwhd->bhgw", qw, k_win.astype(qw.dtype),
+                     preferred_element_type=jnp.float32) * scale
+    s_w = jnp.where((jnp.arange(W) < win_len)[None, None, None, :], s_w, -jnp.inf)
+    m_w = jnp.max(s_w, axis=-1, keepdims=True)                  # [B, Hkv, G8, 1]
     m_w_safe = jnp.maximum(m_w, -1e30)
     p_w = jnp.exp(s_w - m_w_safe)
     l_w = jnp.sum(p_w, axis=-1, keepdims=True)
-    o_w = jax.lax.dot_general(p_w.astype(jnp.bfloat16), vw.astype(jnp.bfloat16),
-                              (((2,), (1,)), ((0,), (0,))),
-                              preferred_element_type=jnp.float32)
+    o_w = jnp.einsum("bhgw,bwhd->bhgd", p_w.astype(jnp.bfloat16),
+                     v_win.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    o_w = o_w.reshape(BH, G8, D)
+    m_w_safe = m_w_safe.reshape(BH, G8, 1)
+    l_w = l_w.reshape(BH, G8, 1)
 
     # flash merge of (acc, m_c, l_c) and (o_w, m_w, l_w)
     m_tot = jnp.maximum(m_c, m_w_safe)
