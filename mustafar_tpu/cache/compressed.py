@@ -186,19 +186,11 @@ class CompressedKVCache:
                 window=self.window)
         else:
             out = self._decode_attend_xla(lc, q, n_chunks, win_len, B, Hkv, D)
-
-        def compact(lc):
-            k_chunk = lc["k_win"][:, :C]
-            v_chunk = lc["v_win"][:, :C]
-            lc = self._append_chunk(lc, n_chunks, k_chunk, v_chunk)
-            lc["k_win"] = jnp.concatenate(
-                [lc["k_win"][:, C:], jnp.zeros_like(lc["k_win"][:, :C])], axis=1)
-            lc["v_win"] = jnp.concatenate(
-                [lc["v_win"][:, C:], jnp.zeros_like(lc["v_win"][:, :C])], axis=1)
-            lc["n_chunks"] = lc["n_chunks"] + 1
-            return lc
-
-        lc = jax.lax.cond(win_len >= r + C, compact, lambda lc: lc, lc)
+        # NOTE: compaction is NOT performed here.  XLA:TPU executes BOTH
+        # branches of lax.cond and selects (measured 16.7 ms/layer/step of
+        # dead packing work), so callers invoke ``compact_layer`` /
+        # ``compact_slots`` explicitly at the (host-predictable) boundary:
+        # a compact is due after the step where needs_compact(pos+1) holds.
         return out, lc
 
     def _decode_attend_per_slot(self, lc, q, k, v, pos):
@@ -228,24 +220,63 @@ class CompressedKVCache:
         else:
             out = self._decode_attend_xla(lc, q, nc, win_len, B, Hkv, D)
 
-        # vectorized compaction: slot b compacts when its window is full
-        do = win_len >= r + C                                   # [B]
-        k_rows = self._pack_chunk(lc["k_win"][:, :C], self.kfmt)
-        v_rows = self._pack_chunk(lc["v_win"][:, :C], self.vfmt)
-        new_rows = jnp.concatenate([k_rows, v_rows], axis=-2)   # [BH, ROWS, 128]
-        bh = jnp.arange(B * Hkv)
-        b_of = bh // Hkv
-        ci = jnp.clip(nc, 0, mc - 1)[b_of]                      # [BH]
-        existing = lc["kv_pool"][ci, bh]                        # [BH, ROWS, 128]
-        sel = do[b_of][:, None, None]
-        lc["kv_pool"] = lc["kv_pool"].at[ci, bh].set(
-            jnp.where(sel, new_rows.astype(lc["kv_pool"].dtype), existing))
-        for key in ("k_win", "v_win"):
-            shifted = jnp.concatenate(
-                [lc[key][:, C:], jnp.zeros_like(lc[key][:, :C])], axis=1)
-            lc[key] = jnp.where(do[:, None, None, None], shifted, lc[key])
-        lc["n_chunks"] = nc + do.astype(jnp.int32)
+        # compaction deferred to compact_slots (see decode_attend note)
         return out, lc
+
+    def needs_compact(self, total: int) -> bool:
+        """True when a sequence of ``total`` tokens has a full r+C window
+        (host-side; total and the chunk count are in lockstep:
+        nc(total) = max(0, (total - r) // C))."""
+        d = total - self.r
+        return d >= self.C and d % self.C == 0
+
+    def compact_layer(self, lc: dict) -> dict:
+        """Pack the oldest C window tokens into the pools (uniform batch)."""
+        C = self.C
+        lc = dict(lc)
+        n_chunks = lc["n_chunks"][0]
+        lc = self._append_chunk(lc, n_chunks, lc["k_win"][:, :C],
+                                lc["v_win"][:, :C])
+        lc["k_win"] = jnp.concatenate(
+            [lc["k_win"][:, C:], jnp.zeros_like(lc["k_win"][:, :C])], axis=1)
+        lc["v_win"] = jnp.concatenate(
+            [lc["v_win"][:, C:], jnp.zeros_like(lc["v_win"][:, :C])], axis=1)
+        lc["n_chunks"] = lc["n_chunks"] + 1
+        return lc
+
+    def compact(self, cache: dict) -> dict:
+        """compact_layer over the stacked [L, ...] cache (uniform batch)."""
+        return jax.lax.scan(
+            lambda _, lc: (0, self.compact_layer(lc)), 0, cache)[1]
+
+    def compact_slots(self, cache: dict, do) -> dict:
+        """Per-slot compaction of the stacked cache for slots where do[b]."""
+        Hkv = self.model.num_kv_heads
+        C, mc = self.C, self.max_chunks
+        do = jnp.asarray(do)
+
+        def one(_, lc):
+            B = lc["k_win"].shape[0]
+            nc = lc["n_chunks"]
+            k_rows = self._pack_chunk(lc["k_win"][:, :C], self.kfmt)
+            v_rows = self._pack_chunk(lc["v_win"][:, :C], self.vfmt)
+            new_rows = jnp.concatenate([k_rows, v_rows], axis=-2)
+            bh = jnp.arange(B * Hkv)
+            b_of = bh // Hkv
+            ci = jnp.clip(nc, 0, mc - 1)[b_of]
+            existing = lc["kv_pool"][ci, bh]
+            sel = do[b_of][:, None, None]
+            lc = dict(lc)
+            lc["kv_pool"] = lc["kv_pool"].at[ci, bh].set(
+                jnp.where(sel, new_rows.astype(lc["kv_pool"].dtype), existing))
+            for key in ("k_win", "v_win"):
+                shifted = jnp.concatenate(
+                    [lc[key][:, C:], jnp.zeros_like(lc[key][:, :C])], axis=1)
+                lc[key] = jnp.where(do[:, None, None, None], shifted, lc[key])
+            lc["n_chunks"] = nc + do.astype(jnp.int32)
+            return 0, lc
+
+        return jax.lax.scan(one, 0, cache)[1]
 
     def _decode_attend_xla(self, lc, q, n_chunks, win_len, B, Hkv, D):
         """XLA fallback: decompress pools, two-part masked attention.

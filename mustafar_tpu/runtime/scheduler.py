@@ -78,6 +78,7 @@ class ContinuousBatchingEngine:
         self.finished: dict[int, Request] = {}
         self._prefill_fns = {}
         self._decode_fn = None
+        self._compact_fn = None
         self._uid = 0
 
     # -- public API -------------------------------------------------------
@@ -176,6 +177,8 @@ class ContinuousBatchingEngine:
             self.params, self.cache, jnp.asarray(self.slot_last),
             jnp.asarray(self.slot_pos), jnp.asarray(active))
         nxt = np.asarray(nxt)
+        # positions advance below; compaction check uses the post-step totals
+
         for slot in range(self.B):
             if self.slot_req[slot] is None:
                 continue
@@ -192,6 +195,25 @@ class ContinuousBatchingEngine:
             elif is_eos or self.slot_budget[slot] <= 0 \
                     or self.slot_pos[slot] >= self.engine.max_seq_len:
                 self._retire(slot)
+        self._maybe_compact()
+
+    def _maybe_compact(self):
+        """Compressed-cache compaction for slots whose window just filled
+        (host-triggered; in-step lax.cond would run the packing every step)."""
+        impl = self.impl
+        if not hasattr(impl, "compact_slots"):
+            return
+        # cache totals are slot_pos - 1 here (slot_pos already advanced past
+        # the token appended by the step just committed)
+        flags = np.array([
+            self.slot_req[b] is not None
+            and impl.needs_compact(int(self.slot_pos[b]) - 1)
+            for b in range(self.B)])
+        if not flags.any():
+            return
+        if self._compact_fn is None:
+            self._compact_fn = jax.jit(impl.compact_slots)
+        self.cache = self._compact_fn(self.cache, jnp.asarray(flags))
 
     def _retire(self, slot: int):
         req = self.slot_req[slot]

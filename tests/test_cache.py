@@ -108,6 +108,8 @@ def test_decode_compaction_appends_chunk():
         out, lc = impl.decode_attend(lc, qd, kd, vd, jnp.int32(pos))
         assert out.shape == (B, 1, Hq, D)
         pos += 1
+        if impl.needs_compact(pos):
+            lc = impl.compact_layer(lc)
         expect_chunks = 2 if pos >= 288 + 256 else 1
         assert int(lc["n_chunks"][0]) == expect_chunks, (step, pos)
     # after compaction the window restarts with the residual (32 tokens)
