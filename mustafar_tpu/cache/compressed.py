@@ -180,7 +180,7 @@ class CompressedKVCache:
 
         if self.use_pallas:
             from mustafar_tpu.ops.kernels import sparse_attention as ska
-            out = ska.fused_sparse_decode_attention_v6(
+            out = ska.fused_sparse_decode_attention_v7(
                 q, lc["kv_pool"], lc["k_win"], lc["v_win"], n_chunks, win_len,
                 self.kfmt, self.vfmt, self.max_chunks, hpb=16,
                 window=self.window)

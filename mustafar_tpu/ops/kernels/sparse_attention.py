@@ -1241,3 +1241,187 @@ def fused_sparse_decode_attention_v6ps(q, kv_pool, k_win, v_win, n_chunks,
     a_w = jnp.exp(m_w_safe - m_tot)
     out = (acc * a_c + o_w * a_w) / (l_c * a_c + l_w * a_w)
     return out[:, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# v7: v6 + in-kernel dynamic-length window.
+#
+# The XLA window merge always reads the full Wcap (= r + C = 288) rows per
+# head although win_len averages ~(r + C/2); streaming the window through the
+# kernel with a dynamic tile trip count skips the dead tiles (~45% of window
+# bytes, which are ~half the decode attention traffic).
+# ---------------------------------------------------------------------------
+
+def _fused_v7_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, q_ref, out_ref,
+                     buf, wbuf, sems, wsems, m_ref, l_ref, acc_ref,
+                     *, kfmt: ChunkFormat, vfmt: ChunkFormat, hpb: int,
+                     wt: int, scale: float, window: int | None = None):
+    nc = scalars_ref[0]
+    win_len = scalars_ref[1]
+    b = pl.program_id(0)
+    h0 = b * hpb
+    D, C = kfmt.dim, kfmt.chunk
+    KR = kfmt.stream_rows
+    G8 = q_ref.shape[1]
+    HG = hpb * G8
+    HC = hpb * C
+    HW = hpb * wt
+
+    def copy(slot, ci):
+        return pltpu.make_async_copy(
+            pool_hbm.at[ci, pl.ds(h0, hpb)], buf.at[slot], sems.at[slot])
+
+    def wcopy(slot, wi, which):
+        src = (kw_hbm, vw_hbm)[which]
+        return pltpu.make_async_copy(
+            src.at[pl.ds(h0, hpb), pl.ds(wi * wt, wt)], wbuf.at[slot, which],
+            wsems.at[slot, which])
+
+    m_ref[:] = jnp.full(m_ref.shape, -1e30, jnp.float32)
+    l_ref[:] = jnp.zeros(l_ref.shape, jnp.float32)
+    acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    n_wtiles = (win_len + wt - 1) // wt
+
+    @pl.when(nc > 0)
+    def _():
+        copy(0, 0).start()
+
+    @pl.when(nc == 0)
+    def _():
+        wcopy(0, 0, 0).start()
+        wcopy(0, 0, 1).start()
+
+    q_all = q_ref[:].reshape(HG, D)
+    hrow_q = jax.lax.broadcasted_iota(jnp.int32, (HG, HC), 0) // G8
+    hrow_k = jax.lax.broadcasted_iota(jnp.int32, (HG, HC), 1) // C
+    blk = hrow_q == hrow_k
+    tcol = jax.lax.broadcasted_iota(jnp.int32, (HG, HC), 1) % C
+
+    def online(s, vmat):
+        m_old = m_ref[:].reshape(HG, 128)
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new[:, :1])
+        corr = jnp.exp(m_old - m_new)
+        l_ref[:] = (l_ref[:].reshape(HG, 128) * corr
+                    + jnp.sum(p, axis=-1, keepdims=True)).reshape(l_ref.shape)
+        pv = jax.lax.dot_general(p.astype(jnp.bfloat16), vmat,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_ref[:] = (acc_ref[:].reshape(HG, D) * corr[:, :D] + pv).reshape(acc_ref.shape)
+        m_ref[:] = m_new.reshape(m_ref.shape)
+
+    def chunk_body(ci, _):
+        slot = ci % 2
+
+        @pl.when(ci + 1 < nc)
+        def _():
+            copy((ci + 1) % 2, ci + 1).start()
+
+        @pl.when(ci + 1 == nc)
+        def _():
+            wcopy(0, 0, 0).start()
+            wcopy(0, 0, 1).start()
+
+        copy(slot, ci).wait()
+        kd = _expand_stream_rows_batched(buf[slot], kfmt, hpb, 0)
+        vd = _expand_stream_rows_batched(buf[slot], vfmt, hpb, KR)
+        s = jax.lax.dot_general(q_all, kd, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        mask = blk
+        if window is not None:
+            low = nc * C + win_len - 1 - window
+            mask = mask & ((ci * C + tcol) > low)
+        s = jnp.where(mask, s, -1e30)
+        online(s, vd)
+        return 0
+
+    jax.lax.fori_loop(0, nc, chunk_body, 0)
+
+    # dynamic-length window tiles
+    whq = jax.lax.broadcasted_iota(jnp.int32, (HG, HW), 0) // G8
+    whk = jax.lax.broadcasted_iota(jnp.int32, (HG, HW), 1) // wt
+    wpos_l = jax.lax.broadcasted_iota(jnp.int32, (HG, HW), 1) % wt
+    wblk = whq == whk
+
+    def win_body(wi, _):
+        slot = wi % 2
+
+        @pl.when(wi + 1 < n_wtiles)
+        def _():
+            wcopy((wi + 1) % 2, wi + 1, 0).start()
+            wcopy((wi + 1) % 2, wi + 1, 1).start()
+
+        wcopy(slot, wi, 0).wait()
+        wcopy(slot, wi, 1).wait()
+        kw_all = wbuf[slot, 0].reshape(HW, D)
+        vw_all = wbuf[slot, 1].reshape(HW, D)
+        s = jax.lax.dot_general(q_all, kw_all, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(wblk & ((wi * wt + wpos_l) < win_len), s, -1e30)
+        online(s, vw_all)
+        return 0
+
+    jax.lax.fori_loop(0, n_wtiles, win_body, 0)
+    out_ref[:] = (acc_ref[:].reshape(HG, D)
+                  / l_ref[:].reshape(HG, 128)[:, :1]).reshape(out_ref.shape)
+
+
+def fused_sparse_decode_attention_v7(q, kv_pool, k_win, v_win, n_chunks,
+                                     win_len, kfmt: ChunkFormat,
+                                     vfmt: ChunkFormat, max_chunks: int,
+                                     hpb: int = 16, window: int | None = None,
+                                     wt: int = 96):
+    """v7: fully in-kernel decode attention with dynamic window length.
+    Same contract as v6."""
+    B, _, Hq, D = q.shape
+    W = k_win.shape[1]
+    Hkv = k_win.shape[2]
+    G = Hq // Hkv
+    G8 = max(8, G)
+    BH = B * Hkv
+    hpb = min(hpb, BH)
+    while BH % hpb:
+        hpb //= 2
+    NB = BH // hpb
+    ROWS = kfmt.stream_rows + vfmt.stream_rows
+    assert kv_pool.shape == (max_chunks, BH, ROWS, 128), kv_pool.shape
+    while W % wt:
+        wt //= 2
+
+    qg = q[:, 0].reshape(B, Hkv, G, D)
+    qpad = jnp.pad(qg.reshape(BH, G, D), ((0, 0), (0, G8 - G), (0, 0)))
+    qb = qpad.astype(jnp.bfloat16)
+    kw = jnp.transpose(k_win, (0, 2, 1, 3)).reshape(BH, W, D).astype(jnp.bfloat16)
+    vw = jnp.transpose(v_win, (0, 2, 1, 3)).reshape(BH, W, D).astype(jnp.bfloat16)
+
+    scalars = jnp.stack([n_chunks.astype(jnp.int32), win_len.astype(jnp.int32)])
+    fixed = lambda shape: pl.BlockSpec(shape, lambda b, sref: (b, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NB,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  fixed((hpb, G8, D))],
+        out_specs=pl.BlockSpec((hpb, G8, D), lambda b, sref: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, hpb, ROWS, 128), jnp.int16),
+            pltpu.VMEM((2, 2, hpb, wt, D), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((hpb, G8, 128), jnp.float32),
+            pltpu.VMEM((hpb, G8, 128), jnp.float32),
+            pltpu.VMEM((hpb, G8, D), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fused_v7_kernel, kfmt=kfmt, vfmt=vfmt, hpb=hpb,
+                          wt=wt, scale=float(1.0 / np.sqrt(D)), window=window),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BH, G8, D), jnp.float32),
+        interpret=_interpret(),
+    )(scalars, kv_pool, kw, vw, qb)
+    return out[:, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)

@@ -365,3 +365,36 @@ def test_fused_v6ps_per_slot_counts():
             jnp.int32(int(ncs[b])), jnp.int32(int(wls[b])), FMT, FMT, mc),
             np.float32)
         np.testing.assert_allclose(got[b:b+1], ref, rtol=2e-2, atol=2e-2)
+
+
+def test_fused_v7_matches_v6():
+    """v7 (in-kernel dynamic window) == v6 across chunk counts and window
+    lengths, with and without sliding window."""
+    rs = np.random.RandomState(13)
+    B, Hkv, G = 2, 2, 4
+    Hq = Hkv * G
+    mc = 3
+    C, D = FMT.chunk, FMT.dim
+    W = 288
+    BH = B * Hkv
+    k_pruned, *_ = make_case(rs, B, Hkv, G, mc, mc, W, 0)
+    v_pruned, *_ = make_case(rs, B, Hkv, G, mc, mc, W, 0)
+    kp = jnp.asarray(k_pruned.reshape(BH, mc, C, D), jnp.bfloat16)
+    vp = jnp.asarray(v_pruned.reshape(BH, mc, C, D), jnp.bfloat16)
+    pool = jnp.swapaxes(jnp.concatenate(
+        [sf.encode_stream(kp, FMT), sf.encode_stream(vp, FMT)], axis=-2), 0, 1)
+    q = rs.randn(B, 1, Hq, D).astype(np.float32)
+
+    for nact, wl, win in [(0, 30, None), (1, 90, None), (3, 288, None),
+                          (2, 120, 512)]:
+        k_win = rs.randn(B, W, Hkv, D).astype(np.float32); k_win[:, wl:] = 0
+        v_win = rs.randn(B, W, Hkv, D).astype(np.float32); v_win[:, wl:] = 0
+        args = (jnp.asarray(q, jnp.bfloat16), pool,
+                jnp.asarray(k_win, jnp.bfloat16), jnp.asarray(v_win, jnp.bfloat16),
+                jnp.int32(nact), jnp.int32(wl), FMT, FMT, mc)
+        ref = np.asarray(ska.fused_sparse_decode_attention_v6(*args, window=win),
+                         np.float32)
+        got = np.asarray(ska.fused_sparse_decode_attention_v7(*args, window=win),
+                         np.float32)
+        np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2,
+                                   err_msg=f"nact={nact} wl={wl} win={win}")
