@@ -1,6 +1,6 @@
 """Single-chip sparse decode-attention microbenchmark (real TPU).
 
-Times the production fused kernels (v5/v6) against dense XLA decode attention
+Times the production fused kernel (v7) against dense XLA decode attention
 at the reference bench shape (mem_spd_test.py: Llama-3-8B geometry, batch 32,
 K=V=0.7) for a short (~900 tokens) and a long (~3k tokens) context, and
 reports effective HBM bandwidth vs speed-of-light (v5e ~819 GB/s).
@@ -63,7 +63,7 @@ def run_config(name, mc, nact, win_len, check=False):
     q = jnp.asarray(rs.randn(B, 1, Hkv * G, D) * 0.1, jnp.bfloat16)
     nc, wl = jnp.int32(nact), jnp.int32(win_len)
 
-    sparse_fn = jax.jit(lambda q, nc, wl: ska.fused_sparse_decode_attention_v6(
+    sparse_fn = jax.jit(lambda q, nc, wl: ska.fused_sparse_decode_attention_v7(
         q, pool, k_win, v_win, nc, wl, fmt, fmt, mc, hpb=16))
 
     S = nact * C + win_len
@@ -91,14 +91,14 @@ def run_config(name, mc, nact, win_len, check=False):
         wts = np.asarray(jax.nn.softmax(jnp.asarray(lg), -1))
         want = np.einsum("bhgs,bhsd->bhgd", wts, vv).reshape(B, 1, Hkv * G, D)
         err = np.abs(out - want).max() / (np.abs(want).max() + 1e-9)
-        print(f"[{name}] correctness vs dense-equivalent: rel err {err:.4f}")
+        print(f"[{name}] correctness vs dense-equivalent: rel err {err:.4f}")  # noqa
 
     t_sparse = timeit(sparse_fn, q, nc, wl)
     t_dense = timeit(dense_fn, q)
     sparse_bytes = (BH * nact * 2 * fmt.stream_rows * 128 * 2
                     + 2 * B * win_len * Hkv * D * 2)
     dense_bytes = 2 * B * Hkv * S * D * 2
-    print(f"[{name}] sparse(v6): {t_sparse*1e6:8.1f} us ({sparse_bytes/t_sparse/1e9:6.1f} GB/s eff) | "
+    print(f"[{name}] sparse(v7): {t_sparse*1e6:8.1f} us ({sparse_bytes/t_sparse/1e9:6.1f} GB/s eff) | "
           f"dense-XLA: {t_dense*1e6:8.1f} us ({dense_bytes/t_dense/1e9:6.1f} GB/s) | "
           f"ratio {t_dense/t_sparse:.2f}x, bytes ratio {dense_bytes/sparse_bytes:.2f}x")
 
