@@ -129,7 +129,9 @@ class ContinuousBatchingEngine:
                 cache = impl.insert_slot(cache, sub, slot_idx)
                 return nxt[0], cache
 
-            self._prefill_fns[key] = jax.jit(prefill_one)
+            # donate the cache: the caller immediately replaces it, and
+            # donation lets XLA alias the update in place
+            self._prefill_fns[key] = jax.jit(prefill_one, donate_argnums=(3,))
         toks = jnp.asarray(np.pad(req.tokens, (0, Tpad - T))[None], jnp.int32)
         nxt, self.cache = self._prefill_fns[key](
             self.params, toks, jnp.int32(T), self.cache, jnp.int32(slot))
@@ -172,7 +174,7 @@ class ContinuousBatchingEngine:
                 nxt = jnp.where(active, nxt, last)
                 return nxt, cache
 
-            self._decode_fn = jax.jit(step)
+            self._decode_fn = jax.jit(step, donate_argnums=(1,))
         nxt, self.cache = self._decode_fn(
             self.params, self.cache, jnp.asarray(self.slot_last),
             jnp.asarray(self.slot_pos), jnp.asarray(active))
@@ -212,7 +214,7 @@ class ContinuousBatchingEngine:
         if not flags.any():
             return
         if self._compact_fn is None:
-            self._compact_fn = jax.jit(impl.compact_slots)
+            self._compact_fn = jax.jit(impl.compact_slots, donate_argnums=(0,))
         self.cache = self._compact_fn(self.cache, jnp.asarray(flags))
 
     def _retire(self, slot: int):
