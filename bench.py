@@ -37,7 +37,18 @@ def build(engine, params, dtype, prompt, gen_tokens):
     return total_tokens / dt, dt
 
 
-def main():
+def _peak_hbm_gib():
+    """Device peak-memory counter (reference reports
+    torch.cuda.max_memory_allocated(), mem_spd_test.py:95-96).  The counter is
+    monotone over the process; None when the backend lacks memory_stats."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return round(stats["peak_bytes_in_use"] / 2**30, 3)
+    except Exception:
+        return None
+
+
+def main(batch=None, prompt_len=None, gen_tokens=None):
     from mustafar_tpu.config import (CacheMode, EngineConfig, LLAMA3_8B,
                                      PruneConfig, PruneMethod)
     from mustafar_tpu.models.llama import init_params
@@ -47,8 +58,12 @@ def main():
     layers = 16 if on_tpu else 2
     cfg = dataclasses.replace(LLAMA3_8B, num_layers=layers,
                               vocab_size=32000 if on_tpu else 512)
-    B, prompt_len, gen_tokens = (32, 300, 600) if on_tpu else (2, 64, 16)
-    max_seq = 1312 if on_tpu else 256
+    B, dflt_prompt, dflt_gen = (32, 300, 600) if on_tpu else (2, 64, 16)
+    B = batch or B
+    prompt_len = prompt_len or dflt_prompt
+    gen_tokens = gen_tokens or dflt_gen
+    max_seq = max(1312, ((prompt_len + 255) // 256 + 1) * 256 + gen_tokens + 256) \
+        if on_tpu else 256
 
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     params = jax.block_until_ready(params)
@@ -63,7 +78,9 @@ def main():
                              max_seq_len=max_seq, prefill_bucket=256)
 
     sparse_tps, sparse_dt = build(sparse_eng, params, jnp.bfloat16, prompt, gen_tokens)
+    peak_sparse = _peak_hbm_gib()
     dense_tps, dense_dt = build(dense_eng, params, jnp.bfloat16, prompt, gen_tokens)
+    peak_total = _peak_hbm_gib()
 
     print(json.dumps({
         "metric": "sparse_decode_throughput",
@@ -77,6 +94,11 @@ def main():
             "dense_tok_s": round(dense_tps, 1),
             "sparse_s_per_gen": round(sparse_dt, 3),
             "dense_s_per_gen": round(dense_dt, 3),
+            # peak HBM (GiB): sparse phase runs first, so peak_hbm_sparse_gib
+            # is its true peak; the device counter is monotone, so the dense
+            # figure is the max of both phases (dense dominates in practice).
+            "peak_hbm_sparse_gib": peak_sparse,
+            "peak_hbm_dense_gib": peak_total,
             "backend": jax.default_backend(),
         },
     }))

@@ -94,7 +94,7 @@ def cmd_eval(args):
 
 def cmd_bench(args):
     import bench  # repo-root bench.py
-    bench.main()
+    bench.main(batch=args.batch, prompt_len=args.prompt, gen_tokens=args.gen)
 
 
 def main(argv=None):
@@ -118,6 +118,12 @@ def main(argv=None):
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("bench", help="decode latency/memory benchmark")
+    p.add_argument("--batch", type=int, default=None,
+                   help="batch size (default: reference shape, 32 on TPU)")
+    p.add_argument("--prompt", type=int, default=None,
+                   help="prompt tokens (default 300 on TPU)")
+    p.add_argument("--gen", type=int, default=None,
+                   help="generated tokens (default 600 on TPU)")
     p.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)

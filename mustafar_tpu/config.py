@@ -189,6 +189,13 @@ class EngineConfig:
 
     def __post_init__(self):
         if self.cache_mode == CacheMode.COMPRESSED:
-            assert self.chunk_size % 256 == 0 or self.chunk_size >= 64, (
-                "compressed cache compacts in chunks")
-        assert self.max_seq_len % self.chunk_size == 0 or True
+            # the fused-stream format packs 32-token bit planes and 128-wide
+            # value rows (ops/sparse_format.ChunkFormat), and the pool must
+            # hold at least one chunk beyond the dense residual window.
+            assert self.chunk_size % 32 == 0, (
+                f"chunk_size must be a multiple of 32 (got {self.chunk_size})")
+            assert self.max_seq_len >= self.chunk_size + self.prune.residual_length, (
+                f"max_seq_len {self.max_seq_len} leaves no room for one "
+                f"compressed chunk ({self.chunk_size}) plus the residual "
+                f"window ({self.prune.residual_length})")
+        assert self.max_seq_len > 0 and self.prefill_bucket > 0

@@ -31,9 +31,14 @@ from mustafar_tpu.harness.metrics import DATASET2METRIC
 # ---------------------------------------------------------------------------
 
 def build_chat(tokenizer, prompt: str, model_name: str) -> str:
-    """Chat-template wrapping for instruct models (pred_long_bench.py:20-40)."""
+    """Chat-template wrapping for instruct models (pred_long_bench.py:20-40).
+
+    Matches the reference's model matching exactly: llama-3 instruct and
+    mistral-v0.2-instruct only (NOT any mistral-instruct).  The reference's
+    longchat/fastchat branch is out of scope (not in its tested model grid,
+    README.md:113-122)."""
     name = model_name.lower()
-    if ("llama-3" in name and "instruct" in name) or "mistral" in name and "instruct" in name:
+    if ("llama-3" in name and "instruct" in name) or "mistral-v0.2-instruct" in name:
         messages = [{"role": "user", "content": prompt}]
         return tokenizer.apply_chat_template(messages, tokenize=False,
                                              add_generation_prompt=True)
@@ -91,7 +96,16 @@ def predict_dataset(generator, tokenizer, dataset: str, rows: Iterable[dict],
         if dataset not in configs.NO_CHAT_DATASETS:
             prompt = build_chat(tokenizer, prompt, cfg.model_name)
         ids = tokenizer(prompt, truncation=False, return_tensors="np").input_ids
-        out_ids = generator.generate(ids, max_new_tokens=max_gen, eos_id=eos_id)[0]
+        if dataset == "samsum" and eos_id is not None:
+            # reference special case (pred_long_bench.py:64-74): also stop on
+            # newline, and force at least one non-EOS token (min_length=ctx+1)
+            nl = tokenizer.encode("\n", add_special_tokens=False)[-1]
+            out_ids = generator.generate(ids, max_new_tokens=max_gen,
+                                         eos_id=(eos_id, nl),
+                                         min_new_tokens=1)[0]
+        else:
+            out_ids = generator.generate(ids, max_new_tokens=max_gen,
+                                         eos_id=eos_id)[0]
         pred = tokenizer.decode(np.asarray(out_ids), skip_special_tokens=True)
         pred = post_process(pred, cfg.model_name)
         preds.append({"pred": pred, "answers": row.get("answers"),

@@ -87,8 +87,16 @@ def code_sim_score(prediction: str, ground_truth: str, **kwargs) -> float:
 def classification_score(prediction: str, ground_truth: str, **kwargs) -> float:
     all_classes = kwargs["all_classes"]
     matches = [c for c in all_classes if c in prediction]
-    matches = [m for m in matches
-               if not (m in ground_truth and m != ground_truth)]
+    # The reference removes proper-substring matches while iterating the list
+    # (metrics.py:94-96), which skips the element after each removal; the skip
+    # is replicated here so trec/lsht scores are bit-identical.  (Its difflib
+    # fallback branch is dead code: `if em_match_list != 0` is always true.)
+    i = 0
+    while i < len(matches):
+        m = matches[i]
+        if m in ground_truth and m != ground_truth:
+            matches.remove(m)  # next element shifts into i and is skipped
+        i += 1
     if ground_truth in matches:
         return 1.0 / len(matches)
     return 0.0

@@ -8,6 +8,7 @@ implementations.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -19,9 +20,13 @@ _TRIED = False
 
 
 def _build() -> str | None:
+    """Compile scheduler.cpp to a content-hash-named .so (never committed);
+    an existing binary is reused only if it was built from the same source."""
     src = os.path.join(_HERE, "scheduler.cpp")
-    out = os.path.join(_HERE, "_scheduler.so")
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+    with open(src, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    out = os.path.join(_HERE, f"_scheduler_{tag}.so")
+    if os.path.exists(out):
         return out
     try:
         subprocess.run(["g++", "-O2", "-shared", "-fPIC", "-o", out, src],

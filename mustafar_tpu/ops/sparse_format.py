@@ -52,22 +52,10 @@ def decompose_keep(keep: int) -> tuple[int, ...]:
     """
     assert 1 <= keep <= 128, keep
     pows = [1, 2, 4, 8, 16, 32, 64, 128]
-    best = None
-    for a in pows:
-        if a >= keep:
-            best = (a,) if best is None or a < sum(best) else best
-            break
-    for a in pows:
-        for b in pows:
-            if b <= a and a + b >= keep and a + b <= 128:
-                if best is None or a + b < sum(best) or (a + b == sum(best) and len(best) > 2):
-                    best = (a, b)
-    # prefer exact single power
-    for a in pows:
-        if a == keep:
-            return (a,)
-    assert best is not None
-    return best
+    candidates = [(a,) for a in pows if a >= keep] + \
+        [(a, b) for a in pows for b in pows if b <= a and keep <= a + b <= 128]
+    # fewest stored slots; a single segment (one gather) breaks ties
+    return min(candidates, key=lambda c: (sum(c), len(c)))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -22,17 +22,37 @@ from mustafar_tpu.config import EngineConfig
 from mustafar_tpu.models import llama
 
 
-def _generate_impl(cfg, cache_impl, max_new: int, eos_id: Optional[int], dtype,
-                   params, tokens, true_len):
+def _generate_impl(cfg, cache_impl, max_new: int, eos_ids: tuple, min_new: int,
+                   dtype, params, tokens, true_len):
     B = tokens.shape[0]
     cache = cache_impl.init(B, dtype)
     logits, cache = llama.prefill(cfg, params, tokens, cache, cache_impl,
                                   true_len, last_only=True)
-    next_tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)   # [B]
 
+    def pick(logits2d, step):
+        """Greedy argmax; EOS logits suppressed below min_new generated tokens
+        (the reference's samsum run sets min_length=ctx+1,
+        pred_long_bench.py:66-74 — HF masks EOS until min_length)."""
+        if eos_ids and min_new > 0:
+            # the first `min_new` generated tokens cannot be EOS (HF
+            # MinLengthLogitsProcessor semantics: suppressed while
+            # cur_len < min_length)
+            suppress = step <= min_new
+            for e in eos_ids:
+                logits2d = logits2d.at[:, e].set(
+                    jnp.where(suppress, -jnp.inf, logits2d[:, e]))
+        return jnp.argmax(logits2d, axis=-1).astype(jnp.int32)
+
+    def is_eos(tok):
+        hit = jnp.zeros(tok.shape, bool)
+        for e in eos_ids:
+            hit |= tok == e
+        return hit
+
+    next_tok = pick(logits[:, 0], 1)                                 # [B]
     out = jnp.zeros((B, max_new), jnp.int32)
     out = out.at[:, 0].set(next_tok)
-    done = jnp.zeros((B,), bool) if eos_id is None else (next_tok == eos_id)
+    done = is_eos(next_tok)
 
     # compressed caches compact between decode *segments* (XLA:TPU executes
     # both branches of lax.cond, so per-step compaction would pay the full
@@ -59,10 +79,10 @@ def _generate_impl(cfg, cache_impl, max_new: int, eos_id: Optional[int], dtype,
         pos = true_len + i - 1
         logits, cache = llama.decode_step(cfg, params, tok[:, None],
                                           cache, cache_impl, pos)
-        nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
-        if eos_id is not None:
-            nxt = jnp.where(done, jnp.int32(eos_id), nxt)
-            done = jnp.logical_or(done, nxt == eos_id)
+        nxt = pick(logits[:, 0], i + 1)
+        if eos_ids:
+            nxt = jnp.where(done, jnp.int32(eos_ids[0]), nxt)
+            done = jnp.logical_or(done, is_eos(nxt))
         out = jax.lax.dynamic_update_slice_in_dim(out, nxt[:, None], i, axis=1)
         return (i + 1, nxt, cache, done, out)
 
@@ -101,8 +121,14 @@ class Generator:
         b = self.engine.prefill_bucket
         return max(b, (n + b - 1) // b * b)
 
-    def generate(self, input_ids, max_new_tokens: int, eos_id: Optional[int] = None):
+    def generate(self, input_ids, max_new_tokens: int, eos_id=None,
+                 min_new_tokens: int = 0):
         """input_ids: [B, T] int array (uniform length, left-aligned, no padding).
+
+        eos_id: int, or a sequence of ints (any of them stops a sequence —
+        the reference's samsum run stops on EOS or newline,
+        pred_long_bench.py:66-74).  min_new_tokens suppresses EOS for the
+        first N generated tokens (reference min_length=ctx+1).
 
         Returns a list of B 1-D numpy arrays of generated ids (EOS excluded).
         """
@@ -112,17 +138,23 @@ class Generator:
         assert Tpad + max_new_tokens <= self.engine.max_seq_len, (
             f"prompt {T} (padded {Tpad}) + {max_new_tokens} exceeds "
             f"max_seq_len {self.engine.max_seq_len}")
-        key = (B, Tpad, max_new_tokens, eos_id)
+        if eos_id is None:
+            eos_ids = ()
+        elif isinstance(eos_id, (int, np.integer)):
+            eos_ids = (int(eos_id),)
+        else:
+            eos_ids = tuple(int(e) for e in eos_id)
+        key = (B, Tpad, max_new_tokens, eos_ids, min_new_tokens)
         if key not in self._gen_fn:
             self._gen_fn[key] = jax.jit(functools.partial(
                 _generate_impl, self.cfg, self.cache_impl, max_new_tokens,
-                eos_id, self.dtype))
+                eos_ids, min_new_tokens, self.dtype))
         toks = jnp.pad(input_ids, ((0, 0), (0, Tpad - T)))
         out = np.asarray(self._gen_fn[key](self.params, toks, jnp.int32(T)))
         result = []
         for row in out:
-            if eos_id is not None:
-                stop = np.where(row == eos_id)[0]
+            if eos_ids:
+                stop = np.where(np.isin(row, eos_ids))[0]
                 row = row[: stop[0]] if len(stop) else row
             result.append(row)
         return result

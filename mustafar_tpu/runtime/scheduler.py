@@ -141,11 +141,7 @@ class ContinuousBatchingEngine:
         self.slot_budget[slot] = req.max_new_tokens - 1
         self.slot_last[slot] = nxt
         req.out.append(nxt)
-        is_eos = self.eos_id is not None and nxt == self.eos_id
-        if self.native is not None:
-            if self.native.commit(slot, is_eos) == 1:
-                self._retire(slot)
-        elif is_eos or req.max_new_tokens == 1:
+        if self._commit(slot, nxt):
             self._retire(slot)
 
     def _fill_slots(self):
@@ -190,14 +186,21 @@ class ContinuousBatchingEngine:
             self.slot_last[slot] = tok
             self.slot_pos[slot] += 1
             self.slot_budget[slot] -= 1
-            is_eos = self.eos_id is not None and tok == self.eos_id
-            if self.native is not None:
-                if self.native.commit(slot, is_eos) == 1:
-                    self._retire(slot)
-            elif is_eos or self.slot_budget[slot] <= 0 \
-                    or self.slot_pos[slot] >= self.engine.max_seq_len:
+            if self._commit(slot, tok):
                 self._retire(slot)
         self._maybe_compact()
+
+    def _commit(self, slot: int, tok: int) -> bool:
+        """Single retirement decision point for prefill and decode commits.
+
+        The native core is the source of truth when available; the Python
+        fallback implements the identical rule (scheduler.cpp msched_commit:
+        retire on EOS, exhausted budget, or full sequence capacity)."""
+        is_eos = self.eos_id is not None and tok == self.eos_id
+        if self.native is not None:
+            return self.native.commit(slot, is_eos) == 1
+        return bool(is_eos or self.slot_budget[slot] <= 0
+                    or self.slot_pos[slot] >= self.engine.max_seq_len)
 
     def _maybe_compact(self):
         """Compressed-cache compaction for slots whose window just filled
