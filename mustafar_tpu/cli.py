@@ -97,6 +97,21 @@ def cmd_bench(args):
     bench.main(batch=args.batch, prompt_len=args.prompt, gen_tokens=args.gen)
 
 
+def cmd_train_tiny(args):
+    from mustafar_tpu.harness import tinylm
+    tinylm.train(args.out, steps=args.steps, batch=args.batch, seq=args.seq,
+                 lr=args.lr, seed=args.seed)
+    print(f"checkpoint written to {args.out}")
+
+
+def cmd_accuracy(args):
+    from mustafar_tpu.harness import tinylm
+    res = tinylm.run_accuracy(
+        args.ckpt, args.out, n_rows=args.rows, ctx_bytes=args.ctx,
+        sparsities=tuple(args.sparsities), modes=tuple(args.modes))
+    print(json.dumps(res, indent=2))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="mustafar_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -125,6 +140,26 @@ def main(argv=None):
     p.add_argument("--gen", type=int, default=None,
                    help="generated tokens (default 600 on TPU)")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("train-tiny",
+                       help="train the tiny accuracy-evidence model")
+    p.add_argument("--out", default="ckpt/tiny-acc")
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--seq", type=int, default=2048)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_train_tiny)
+
+    p = sub.add_parser("accuracy",
+                       help="dense-vs-pruned accuracy grid on a checkpoint")
+    p.add_argument("--ckpt", default="ckpt/tiny-acc")
+    p.add_argument("--out", default="accuracy")
+    p.add_argument("--rows", type=int, default=40)
+    p.add_argument("--ctx", type=int, default=1600)
+    p.add_argument("--sparsities", nargs="*", type=float, default=[0.5, 0.7])
+    p.add_argument("--modes", nargs="*", default=["masked", "compressed"])
+    p.set_defaults(fn=cmd_accuracy)
 
     args = parser.parse_args(argv)
     return args.fn(args)

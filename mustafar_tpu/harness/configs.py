@@ -45,6 +45,9 @@ DATASET2PROMPT = {
     "passage_retrieval_zh": "以下是若干段落文字，以及其中一个段落的摘要。请确定给定的摘要出自哪一段。\n\n{context}\n\n下面是一个摘要\n\n{input}\n\n请输入摘要所属段落的编号。答案格式必须是\"段落1\"，\"段落2\"等格式\n\n答案是：",
     "lcc": "Please complete the code given below. \n{context}Next line of code:\n",
     "repobench-p": "Please complete the code given below. \n{context}{input}Next line of code:\n",
+    # local synthetic long-context retrieval probe (harness/tinylm.py) — the
+    # prompt must match the training document format exactly
+    "passkey": "{context}\n\nWhat is the pass key? The pass key is",
 }
 
 DATASET2MAXLEN = {
@@ -54,6 +57,7 @@ DATASET2MAXLEN = {
     "vcsum": 512, "trec": 64, "triviaqa": 32, "samsum": 128, "lsht": 64,
     "passage_count": 32, "passage_retrieval_en": 32,
     "passage_retrieval_zh": 32, "lcc": 64, "repobench-p": 64,
+    "passkey": 8,
 }
 
 MODEL2MAXLEN = {

@@ -200,3 +200,12 @@ DATASET2METRIC = {
     "lcc": code_sim_score,
     "repobench-p": code_sim_score,
 }
+
+
+def _passkey_score(prediction: str, ground_truth: str, **kwargs) -> float:
+    from mustafar_tpu.harness.tinylm import passkey_score
+    return passkey_score(prediction, ground_truth, **kwargs)
+
+
+# local synthetic long-context retrieval probe (harness/tinylm.py)
+DATASET2METRIC["passkey"] = _passkey_score

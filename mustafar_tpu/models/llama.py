@@ -137,6 +137,34 @@ def forward(cfg: ModelConfig, params: dict, tokens: jnp.ndarray, cache: Any,
     return logits, new_cache
 
 
+def lm_forward(cfg: ModelConfig, params: dict, tokens: jnp.ndarray,
+               true_len=None) -> jnp.ndarray:
+    """Cache-free causal LM forward: tokens [B, T] -> fp32 logits [B, T, V].
+
+    The training / teacher-forced-scoring entry point (the reference has no
+    training path; this exists so accuracy evidence can be produced on real
+    learned weights — see harness/tinylm.py).  Differentiable end to end.
+    """
+    B, T = tokens.shape
+    x = params["embed"][tokens]
+    cos, sin = rope_cos_sin(jnp.arange(T), cfg.head_dim, cfg.rope_theta,
+                            cfg.rope_scaling)
+    tl = T if true_len is None else true_len
+
+    def attend(lc, q, k, v):
+        from mustafar_tpu.ops.attention import prefill_attention
+        return prefill_attention(q, k, v, tl, cfg.sliding_window), lc
+
+    def body(x, lp):
+        x, _ = _layer(cfg, lp, x, cos, sin, attend, None)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    return (x @ head.astype(x.dtype)).astype(jnp.float32)
+
+
 def prefill(cfg: ModelConfig, params, tokens, cache, cache_impl, true_len,
             last_only: bool = False):
     """tokens [B, Tpad]; true_len scalar (uniform valid length, left-aligned)."""
