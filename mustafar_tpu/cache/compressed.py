@@ -7,10 +7,13 @@ re-offset every 256 generated tokens (:324-398, with host syncs).  Here the
 state is a fixed set of static-shape arrays threaded through the jitted step
 (layouts derived in ops/sparse_format.py):
 
-  kv_pool [max_chunks, B*Hkv, ROWS, 128] int16 — fused-stream rows for K and
+  kv_pool [max_chunks, B, Hkv, ROWS, 128] int16 — fused-stream rows for K and
   V (values + bitmap planes, sparse_format.encode_stream), chunk-major so the
   decode kernel fetches one whole chunk for a head group with a single DMA
-  (ops/kernels/sparse_attention.py v4)
+  (ops/kernels/sparse_attention.py v4).  Batch and kv-head are separate axes
+  so a dp x tp mesh shards them independently (P(.., "data", "model", ..));
+  the kernels see the b-major flattened [max_chunks, B*Hkv, ROWS, 128] view
+  (a free reshape, taken per shard inside shard_map when a mesh is set)
   k_win / v_win [B, Wcap, Hkv, D]         bf16     dense window, Wcap = r + C
   n_chunks      int32                              active chunks (uniform)
 
@@ -67,30 +70,35 @@ class CompressedKVCache:
                 f"window capacity ({self.wcap})")
         # pallas decode kernels on TPU; interpret/XLA path elsewhere
         self.use_pallas = (jax.default_backend() == "tpu") if use_pallas is None else use_pallas
+        # set by the runtime/tests to run the kernel head-local on a device
+        # mesh (parallel.sharding.shard_headlocal_attend); None = single-device
+        self.mesh = None
 
     # -- state ------------------------------------------------------------
     def init(self, batch: int, dtype=jnp.bfloat16) -> dict:
         m = self.model
-        BH = batch * m.num_kv_heads
         mc = self.max_chunks
         rows = self.kfmt.stream_rows + self.vfmt.stream_rows
         return {
             "k_win": jnp.zeros((m.num_layers, batch, self.wcap, m.num_kv_heads, m.head_dim), dtype),
             "v_win": jnp.zeros((m.num_layers, batch, self.wcap, m.num_kv_heads, m.head_dim), dtype),
             "n_chunks": jnp.zeros((m.num_layers, batch), jnp.int32),
-            "kv_pool": jnp.zeros((m.num_layers, mc, BH, rows, 128), jnp.int16),
+            "kv_pool": jnp.zeros((m.num_layers, mc, batch, m.num_kv_heads,
+                                  rows, 128), jnp.int16),
         }
 
-    def insert_slot(self, cache: dict, sub: dict, slot) -> dict:
-        """Insert a batch-1 compressed cache into batch slot ``slot``.
+    def _pool_bh(self, pool6):
+        """Per-layer pool [mc, B, Hkv, ROWS, 128] -> kernel view
+        [mc, B*Hkv, ROWS, 128] (b-major, free reshape)."""
+        mc, B, H, R, L = pool6.shape
+        return pool6.reshape(mc, B * H, R, L)
 
-        kv_pool rows for sequence b live at [:, :, b*Hkv:(b+1)*Hkv]; windows
-        and n_chunks index the batch axis directly."""
-        Hkv = self.model.num_kv_heads
+    def insert_slot(self, cache: dict, sub: dict, slot) -> dict:
+        """Insert a batch-1 compressed cache into batch slot ``slot``."""
         out = dict(cache)
         out["kv_pool"] = jax.lax.dynamic_update_slice(
             cache["kv_pool"], sub["kv_pool"].astype(cache["kv_pool"].dtype),
-            (0, 0, slot * Hkv, 0, 0))
+            (0, 0, slot, 0, 0, 0))
         for key in ("k_win", "v_win"):
             out[key] = jax.lax.dynamic_update_slice_in_dim(
                 cache[key], sub[key].astype(cache[key].dtype), slot, axis=1)
@@ -107,18 +115,21 @@ class CompressedKVCache:
 
     def _append_chunk(self, lc, chunk_idx, k_chunk, v_chunk):
         """Prune+pack one dense chunk ([B, C, Hkv, D]) into pool slot chunk_idx."""
+        B, _, Hkv, _ = k_chunk.shape
         k_rows = self._pack_chunk(k_chunk, self.kfmt)
         v_rows = self._pack_chunk(v_chunk, self.vfmt)
         rows = jnp.concatenate([k_rows, v_rows], axis=-2)      # [BH, ROWS, 128]
+        rows = rows.reshape(B, Hkv, *rows.shape[1:])
         lc["kv_pool"] = jax.lax.dynamic_update_slice(
-            lc["kv_pool"], rows[None], (chunk_idx, 0, 0, 0))
+            lc["kv_pool"], rows[None], (chunk_idx, 0, 0, 0, 0))
         return lc
 
     def _decode_pool(self, rows, fmt, batch):
-        """Decompress stream rows [mc, BH, SR, 128] to dense
+        """Decompress stream rows [mc, B, Hkv, SR, 128] to dense
         [B, Hkv, max_chunks*C, D] (XLA fallback path)."""
-        mc, BH = rows.shape[0], rows.shape[1]
-        dense = sf.decode_stream(rows, fmt)                    # [mc, BH, C, D]
+        mc = rows.shape[0]
+        BH = rows.shape[1] * rows.shape[2]
+        dense = sf.decode_stream(rows.reshape(mc, BH, *rows.shape[3:]), fmt)
         H = self.model.num_kv_heads
         dense = jnp.swapaxes(dense, 0, 1).reshape(BH, mc * fmt.chunk, fmt.dim)
         return dense.reshape(batch, H, mc * fmt.chunk, fmt.dim)
@@ -180,10 +191,16 @@ class CompressedKVCache:
 
         if self.use_pallas:
             from mustafar_tpu.ops.kernels import sparse_attention as ska
-            out = ska.fused_sparse_decode_attention_v7(
-                q, lc["kv_pool"], lc["k_win"], lc["v_win"], n_chunks, win_len,
-                self.kfmt, self.vfmt, self.max_chunks, hpb=16,
-                window=self.window)
+            call = lambda q_, pool6_, kw_, vw_, nc_, wl_: \
+                ska.fused_sparse_decode_attention_v7(
+                    q_, self._pool_bh(pool6_), kw_, vw_, nc_, wl_,
+                    self.kfmt, self.vfmt, self.max_chunks, hpb=16,
+                    window=self.window)
+            if self.mesh is not None:
+                from mustafar_tpu.parallel import sharding as sh
+                call = sh.shard_headlocal_attend(call, self.mesh)
+            out = call(q, lc["kv_pool"], lc["k_win"], lc["v_win"],
+                       n_chunks, win_len)
         else:
             out = self._decode_attend_xla(lc, q, n_chunks, win_len, B, Hkv, D)
         # NOTE: compaction is NOT performed here.  XLA:TPU executes BOTH
@@ -195,10 +212,6 @@ class CompressedKVCache:
 
     def _decode_attend_per_slot(self, lc, q, k, v, pos):
         """Per-slot decode: pos [B]; n_chunks [B]; vectorized compaction."""
-        if self.window is not None:
-            raise NotImplementedError(
-                "sliding window + compressed continuous batching: the per-slot "
-                "kernel (v6ps) lacks window masking — tracked for next round")
         B, _, Hq, D = q.shape
         Hkv = self.model.num_kv_heads
         C, r = self.C, self.r
@@ -214,9 +227,15 @@ class CompressedKVCache:
 
         if self.use_pallas and Hkv in (8, 16):
             from mustafar_tpu.ops.kernels import sparse_attention as ska
-            out = ska.fused_sparse_decode_attention_v6ps(
-                q, lc["kv_pool"], lc["k_win"], lc["v_win"], nc, win_len,
-                self.kfmt, self.vfmt, mc)
+            call = lambda q_, pool6_, kw_, vw_, nc_, wl_: \
+                ska.fused_sparse_decode_attention_v6ps(
+                    q_, self._pool_bh(pool6_), kw_, vw_, nc_, wl_,
+                    self.kfmt, self.vfmt, mc, window=self.window)
+            if self.mesh is not None:
+                from mustafar_tpu.parallel import sharding as sh
+                call = sh.shard_headlocal_attend(call, self.mesh,
+                                                 per_slot=True)
+            out = call(q, lc["kv_pool"], lc["k_win"], lc["v_win"], nc, win_len)
         else:
             out = self._decode_attend_xla(lc, q, nc, win_len, B, Hkv, D)
 
@@ -261,14 +280,14 @@ class CompressedKVCache:
             k_rows = self._pack_chunk(lc["k_win"][:, :C], self.kfmt)
             v_rows = self._pack_chunk(lc["v_win"][:, :C], self.vfmt)
             new_rows = jnp.concatenate([k_rows, v_rows], axis=-2)
-            bh = jnp.arange(B * Hkv)
-            b_of = bh // Hkv
-            ci = jnp.clip(nc, 0, mc - 1)[b_of]
-            existing = lc["kv_pool"][ci, bh]
-            sel = do[b_of][:, None, None]
+            new6 = new_rows.reshape(B, Hkv, *new_rows.shape[1:])
+            b_i = jnp.arange(B)
+            ci = jnp.clip(nc, 0, mc - 1)                       # [B]
+            existing = lc["kv_pool"][ci, b_i]                  # [B,Hkv,ROWS,128]
+            sel = do[:, None, None, None]
             lc = dict(lc)
-            lc["kv_pool"] = lc["kv_pool"].at[ci, bh].set(
-                jnp.where(sel, new_rows.astype(lc["kv_pool"].dtype), existing))
+            lc["kv_pool"] = lc["kv_pool"].at[ci, b_i].set(
+                jnp.where(sel, new6.astype(lc["kv_pool"].dtype), existing))
             for key in ("k_win", "v_win"):
                 shifted = jnp.concatenate(
                     [lc[key][:, C:], jnp.zeros_like(lc[key][:, :C])], axis=1)
@@ -286,8 +305,8 @@ class CompressedKVCache:
         or [B,1,1,1] (per-slot)."""
         S = self.max_chunks * self.C
         KR = self.kfmt.stream_rows
-        k_dense = self._decode_pool(lc["kv_pool"][:, :, :KR], self.kfmt, B)
-        v_dense = self._decode_pool(lc["kv_pool"][:, :, KR:], self.vfmt, B)
+        k_dense = self._decode_pool(lc["kv_pool"][..., :KR, :], self.kfmt, B)
+        v_dense = self._decode_pool(lc["kv_pool"][..., KR:, :], self.vfmt, B)
         G = q.shape[2] // Hkv
         qg = q[:, 0].reshape(B, Hkv, G, D)
         scale = 1.0 / jnp.sqrt(jnp.float32(D))

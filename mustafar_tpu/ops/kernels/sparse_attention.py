@@ -1096,7 +1096,8 @@ def fused_sparse_decode_attention_v6(q, kv_pool, k_win, v_win, n_chunks,
 def _fused_v6ps_kernel(scalars_ref, pool_hbm, q_ref, out_ref, m_out, l_out,
                        buf, sems, m_ref, l_ref, acc_ref,
                        *, kfmt: ChunkFormat, vfmt: ChunkFormat, hpb: int,
-                       hkv: int, scale: float):
+                       hkv: int, nslots: int, scale: float,
+                       window: int | None = None):
     b = pl.program_id(0)
     h0 = b * hpb
     D, C = kfmt.dim, kfmt.chunk
@@ -1105,8 +1106,10 @@ def _fused_v6ps_kernel(scalars_ref, pool_hbm, q_ref, out_ref, m_out, l_out,
     HG = hpb * G8
     HC = hpb * C
 
-    # per-head chunk counts for this group (from the per-sequence vector)
+    # per-head chunk counts / window lengths for this group (scalars holds
+    # the per-sequence n_chunks vector then the win_len vector, each [B])
     ncs = [scalars_ref[(h0 + j) // hkv] for j in range(hpb)]
+    wls = [scalars_ref[nslots + (h0 + j) // hkv] for j in range(hpb)]
     nc_max = ncs[0]
     for v in ncs[1:]:
         nc_max = jnp.maximum(nc_max, v)
@@ -1132,6 +1135,15 @@ def _fused_v6ps_kernel(scalars_ref, pool_hbm, q_ref, out_ref, m_out, l_out,
     nc_col = jnp.zeros((1, HC), jnp.int32)
     for j in range(hpb):
         nc_col = nc_col + jnp.where(hcol == j, ncs[j], 0)
+    if window is not None:
+        # sliding window: newest pos of head j is ncs[j]*C + wls[j] - 1; a
+        # pool column at global token ci*C + tcol is live iff it lies within
+        # the last ``window`` positions of its own sequence.
+        tcol = jax.lax.broadcasted_iota(jnp.int32, (1, HC), 1) % C
+        low_col = jnp.zeros((1, HC), jnp.int32)
+        for j in range(hpb):
+            low_col = low_col + jnp.where(
+                hcol == j, ncs[j] * C + wls[j] - 1 - window, 0)
 
     def chunk_body(ci, _):
         slot = ci % 2
@@ -1145,7 +1157,10 @@ def _fused_v6ps_kernel(scalars_ref, pool_hbm, q_ref, out_ref, m_out, l_out,
         vd = _expand_stream_rows_batched(buf[slot], vfmt, hpb, KR)
         s = jax.lax.dot_general(q_all, kd, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        s = jnp.where(blk & (ci < nc_col), s, -1e30)
+        mask = blk & (ci < nc_col)
+        if window is not None:
+            mask = mask & ((ci * C + tcol) > low_col)
+        s = jnp.where(mask, s, -1e30)
         m_old = m_ref[:].reshape(HG, 128)
         m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new[:, :1])
@@ -1168,8 +1183,11 @@ def _fused_v6ps_kernel(scalars_ref, pool_hbm, q_ref, out_ref, m_out, l_out,
 def fused_sparse_decode_attention_v6ps(q, kv_pool, k_win, v_win, n_chunks,
                                        win_len, kfmt: ChunkFormat,
                                        vfmt: ChunkFormat, max_chunks: int,
-                                       hpb: int = 16):
-    """Per-slot v6: n_chunks [B], win_len [B] vectors (continuous batching)."""
+                                       hpb: int = 16,
+                                       window: int | None = None):
+    """Per-slot v6: n_chunks [B], win_len [B] vectors (continuous batching).
+    ``window`` masks pool chunks to the per-sequence sliding window (Mistral
+    semantics, reference mistral_mustafar_Kt_Mag_Vt_Mag.py:983-989)."""
     B, _, Hq, D = q.shape
     W = k_win.shape[1]
     Hkv = k_win.shape[2]
@@ -1188,8 +1206,10 @@ def fused_sparse_decode_attention_v6ps(q, kv_pool, k_win, v_win, n_chunks,
     qpad = jnp.pad(qg.reshape(BH, G, D), ((0, 0), (0, G8 - G), (0, 0)))
     qb = qpad.astype(jnp.bfloat16)
 
-    # scalars: one chunk count per kv-head row (B entries indexed by bh//Hkv)
-    scalars = n_chunks.astype(jnp.int32)
+    # scalars: per-sequence chunk counts then window lengths ([2B], indexed
+    # by bh//Hkv inside the kernel)
+    scalars = jnp.concatenate([n_chunks.astype(jnp.int32),
+                               win_len.astype(jnp.int32)])
     fixed = lambda shape: pl.BlockSpec(shape, lambda b, sref: (b, 0, 0),
                                        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1212,7 +1232,8 @@ def fused_sparse_decode_attention_v6ps(q, kv_pool, k_win, v_win, n_chunks,
     )
     acc, m_c, l_c = pl.pallas_call(
         functools.partial(_fused_v6ps_kernel, kfmt=kfmt, vfmt=vfmt, hpb=hpb,
-                          hkv=Hkv, scale=float(1.0 / np.sqrt(D))),
+                          hkv=Hkv, nslots=B, scale=float(1.0 / np.sqrt(D)),
+                          window=window),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((BH, G8, D), jnp.float32),
                    jax.ShapeDtypeStruct((BH, G8, 1), jnp.float32),

@@ -69,12 +69,38 @@ def cache_specs(engine: EngineConfig, cache_state: dict) -> dict:
         elif key in ("k", "v", "k_win", "v_win", "k_score", "v_score"):
             specs[key] = P(None, "data", None, "model", None)
         elif key == "kv_pool":
-            # chunk-major fused pool [L, mc, B*Hkv, ROWS, 128] — joint head
-            # dim at axis 2
-            specs[key] = P(None, None, ("data", "model"), None, None)
+            # chunk-major fused pool [L, mc, B, Hkv, ROWS, 128] — batch over
+            # data, kv-heads over model (independent axes; a joint spec on the
+            # b-major flattened dim would split batch twice and never shard
+            # heads)
+            specs[key] = P(None, None, "data", "model", None, None)
         else:
             raise ValueError(key)
     return specs
+
+
+def shard_headlocal_attend(fn, mesh: Mesh, per_slot: bool = False):
+    """shard_map a compressed decode-attention call so each shard runs the
+    Pallas kernel on its local (batch x kv-head) rows only.
+
+    ``fn(q, kv_pool, k_win, v_win, n_chunks, win_len) -> out`` with
+    q [B,1,Hq,D], kv_pool [mc, B, Hkv, ROWS, 128] (the per-layer 6-D cache
+    state; fn reshapes its local block to the kernel's b-major [mc, BH', ..]
+    view), k_win/v_win [B,W,Hkv,D].  Pools are head-local by design
+    (SURVEY.md §7: per-head compressed streams never communicate), so no
+    collectives appear inside attention; GSPMD handles the surrounding
+    projections.  per_slot: n_chunks/win_len are [B] vectors sharded over
+    "data" (continuous batching)."""
+    qspec = P("data", None, "model", None)
+    wspec = P("data", None, "model", None)
+    pool = P(None, "data", "model", None, None)
+    scal = P("data") if per_slot else P()
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(qspec, pool, wspec, wspec, scal, scal),
+        out_specs=qspec,
+        # pallas_call out_shapes carry no varying-mesh-axes annotation
+        check_vma=False)
 
 
 def shard_pytree(tree, specs, mesh: Mesh):

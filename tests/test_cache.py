@@ -65,7 +65,7 @@ def test_prefill_chunking_and_window():
     assert int(lc["n_chunks"][0]) == 2
     # pools hold the exact-top-k pruned prefix
     KR = impl.kfmt.stream_rows
-    k_dense = np.asarray(impl._decode_pool(lc["kv_pool"][:, :, :KR], impl.kfmt, B),
+    k_dense = np.asarray(impl._decode_pool(lc["kv_pool"][..., :KR, :], impl.kfmt, B),
                          np.float32)
     kk = np.asarray(k)[0].transpose(1, 0, 2)           # [Hkv, T, D]
     kk_bf = jnp.asarray(kk[:, :512], jnp.bfloat16)     # packing casts to bf16

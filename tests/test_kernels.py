@@ -367,6 +367,52 @@ def test_fused_v6ps_per_slot_counts():
         np.testing.assert_allclose(got[b:b+1], ref, rtol=2e-2, atol=2e-2)
 
 
+def test_fused_v6ps_sliding_window():
+    """Per-slot v6 with sliding window: each sequence masks pool chunks to its
+    own last-``window`` positions; matches per-sequence v6(window=...)."""
+    rs = np.random.RandomState(21)
+    B, Hkv, G = 2, 2, 4
+    Hq = Hkv * G
+    mc = 3
+    C, D = FMT.chunk, FMT.dim
+    W = 288
+    BH = B * Hkv
+    ncs = np.array([2, 3], np.int32)
+    wls = np.array([40, 200], np.int32)
+    win = 512   # seq 1 (3*256+200-1 = 967 newest) masks most of chunk 0
+
+    k_pruned, *_ = make_case(rs, B, Hkv, G, mc, mc, W, 0)
+    v_pruned, *_ = make_case(rs, B, Hkv, G, mc, mc, W, 0)
+    k_win = rs.randn(B, W, Hkv, D).astype(np.float32)
+    v_win = rs.randn(B, W, Hkv, D).astype(np.float32)
+    for b in range(B):
+        k_win[b, wls[b]:] = 0
+        v_win[b, wls[b]:] = 0
+    q = rs.randn(B, 1, Hq, D).astype(np.float32)
+
+    kp = jnp.asarray(k_pruned.reshape(BH, mc, C, D), jnp.bfloat16)
+    vp = jnp.asarray(v_pruned.reshape(BH, mc, C, D), jnp.bfloat16)
+    pool = jnp.swapaxes(jnp.concatenate(
+        [sf.encode_stream(kp, FMT), sf.encode_stream(vp, FMT)], axis=-2), 0, 1)
+
+    got = np.asarray(ska.fused_sparse_decode_attention_v6ps(
+        jnp.asarray(q, jnp.bfloat16), pool,
+        jnp.asarray(k_win, jnp.bfloat16), jnp.asarray(v_win, jnp.bfloat16),
+        jnp.asarray(ncs), jnp.asarray(wls), FMT, FMT, mc, window=win),
+        np.float32)
+
+    for b in range(B):
+        ref = np.asarray(ska.fused_sparse_decode_attention_v6(
+            jnp.asarray(q[b:b+1], jnp.bfloat16),
+            pool[:, b*Hkv:(b+1)*Hkv],
+            jnp.asarray(k_win[b:b+1], jnp.bfloat16),
+            jnp.asarray(v_win[b:b+1], jnp.bfloat16),
+            jnp.int32(int(ncs[b])), jnp.int32(int(wls[b])), FMT, FMT, mc,
+            window=win), np.float32)
+        np.testing.assert_allclose(got[b:b+1], ref, rtol=2e-2, atol=2e-2,
+                                   err_msg=f"slot {b}")
+
+
 def test_fused_v7_matches_v6():
     """v7 (in-kernel dynamic window) == v6 across chunk counts and window
     lengths, with and without sliding window."""

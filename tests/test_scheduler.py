@@ -140,6 +140,35 @@ def test_compressed_cb_decode_compaction_crossing():
     np.testing.assert_array_equal(outs[u2], want2)
 
 
+def test_compressed_cb_sliding_window():
+    """Mistral-style sliding window through the compressed continuous-batching
+    path (per-slot window masking of pool chunks): scheduler must match the
+    single-request Generator, including a compaction crossing."""
+    import dataclasses
+    from mustafar_tpu.config import TINY_LLAMA
+    model = dataclasses.replace(TINY_LLAMA, name="tiny128swacb", num_heads=2,
+                                num_kv_heads=1, head_dim=128, hidden_size=128,
+                                sliding_window=320)
+    eng = EngineConfig(model=model, cache_mode=CacheMode.COMPRESSED,
+                       prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                                         k_sparsity=0.5, v_sparsity=0.5),
+                       max_seq_len=1024, prefill_bucket=256, chunk_size=256,
+                       batch_size=2)
+    params = init_params(model, jax.random.PRNGKey(3), dtype=jnp.bfloat16)
+    rs = np.random.RandomState(6)
+    p1 = rs.randint(0, 512, size=280)   # crosses r+C=288 during decode
+    p2 = rs.randint(0, 512, size=400)   # prefill packs a chunk; window active
+    gen = Generator(eng, params, dtype=jnp.bfloat16)
+    want1 = gen.generate(p1[None], max_new_tokens=20)[0]
+    want2 = gen.generate(p2[None], max_new_tokens=20)[0]
+
+    cb = ContinuousBatchingEngine(eng, params, dtype=jnp.bfloat16)
+    u1, u2 = cb.submit(p1, 20), cb.submit(p2, 20)
+    outs = cb.run()
+    np.testing.assert_array_equal(outs[u1], want1)
+    np.testing.assert_array_equal(outs[u2], want2)
+
+
 def test_opa_continuous_batching_matches_generator():
     """Token-Opa (ring accumulators) under per-slot positions must match the
     single-request Generator."""

@@ -74,7 +74,54 @@ def test_compressed_cache_specs_cover_state():
     assert set(specs) == set(cache)
     mesh = sh.make_mesh(dp=2, tp=2)
     shc = sh.shard_pytree(cache, specs, mesh)
-    assert shc["kv_pool"].sharding.spec[2] == ("data", "model")
+    assert shc["kv_pool"].sharding.spec[2] == "data"
+    assert shc["kv_pool"].sharding.spec[3] == "model"
+
+
+def test_compressed_kernel_under_mesh_matches_single_device():
+    """The production compressed path (kv_pool + fused Pallas kernel, interpret
+    mode on CPU) executed head-local under a dp x tp mesh via shard_map must
+    reproduce single-device logits, across prefill chunk packing and decode."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, name="shard-comp", head_dim=128,
+                              num_heads=4, num_kv_heads=2, hidden_size=512,
+                              intermediate_size=1024)
+    eng = EngineConfig(model=cfg, cache_mode=CacheMode.COMPRESSED,
+                       prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                                         k_sparsity=0.5, v_sparsity=0.5),
+                       max_seq_len=1056, prefill_bucket=512, chunk_size=256)
+    from mustafar_tpu.cache.compressed import CompressedKVCache
+    params = init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    B = 4
+    tokens = jnp.asarray(np.random.RandomState(1).randint(0, 256, (B, 400)))
+
+    def run(impl, params, cache, tokens):
+        def fn(params, tokens, cache):
+            logits, cache = llama.prefill(cfg, params, tokens, cache, impl,
+                                          jnp.int32(400))
+            tok = jnp.argmax(logits[:, 399], axis=-1).astype(jnp.int32)[:, None]
+            logits2, cache = llama.decode_step(cfg, params, tok, cache, impl,
+                                               jnp.int32(400))
+            return logits[:, 399], logits2[:, 0]
+        return jax.jit(fn)(params, tokens, cache)
+
+    impl = CompressedKVCache(eng, use_pallas=True)   # interpret mode on CPU
+    ref1, ref2 = run(impl, params, impl.init(B, jnp.float32), tokens)
+
+    mesh = sh.make_mesh(dp=2, tp=2)
+    impl_s = CompressedKVCache(eng, use_pallas=True)
+    impl_s.mesh = mesh
+    pspecs = sh.filter_specs_for(params, sh.param_specs(cfg))
+    params_s = sh.shard_pytree(params, pspecs, mesh)
+    cache = impl_s.init(B, jnp.float32)
+    cache_s = sh.shard_pytree(cache, sh.cache_specs(eng, cache), mesh)
+    tokens_s = jax.device_put(tokens, NamedSharding(mesh, P("data", None)))
+    got1, got2 = run(impl_s, params_s, cache_s, tokens_s)
+
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=2e-4, atol=2e-4)
 
 
 def test_graft_dryrun():
