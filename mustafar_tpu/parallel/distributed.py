@@ -1,0 +1,137 @@
+"""Multi-process (multi-host) runtime groundwork.
+
+The reference is strictly single-GPU (SURVEY.md §2.6: no NCCL/MPI/torchrun
+anywhere); multi-host serving is a north-star capability built fresh.  The
+TPU-native shape of it: one SPMD program per process over a global
+``jax.sharding.Mesh``, jax.distributed for the coordination plane, GSPMD
+collectives over ICI/DCN.  On real pods each process owns its local chips;
+here the same code paths are exercised hardware-independently with N virtual
+CPU devices per process (xla_force_host_platform_device_count), which is how
+the 2-process test runs in CI.
+
+Run one process of a 2-process sharded decode step:
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=4 \
+    python -m mustafar_tpu.parallel.distributed \
+        --coordinator localhost:9911 --num-processes 2 --process-id 0 \
+        --out /tmp/dist0.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def initialize(coordinator: str, num_processes: int, process_id: int):
+    """Join the jax.distributed coordination service (idempotent per process)."""
+    import jax
+
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def _step_program():
+    """The tiny sharded prefill+decode program shared by the multi-process
+    driver and the single-process reference (tests compare the two)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mustafar_tpu.config import (CacheMode, EngineConfig, ModelConfig,
+                                     PruneConfig, PruneMethod)
+    from mustafar_tpu.cache import make_cache
+    from mustafar_tpu.models import llama
+    from mustafar_tpu.models.llama import init_params
+
+    cfg = ModelConfig(name="dist-step", vocab_size=256, hidden_size=128,
+                      intermediate_size=256, num_layers=2, num_heads=4,
+                      num_kv_heads=2, head_dim=32, max_position_embeddings=512)
+    eng = EngineConfig(model=cfg, cache_mode=CacheMode.MASKED,
+                       prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                                         k_sparsity=0.5, v_sparsity=0.5),
+                       max_seq_len=256)
+    impl = make_cache(eng)
+    B = 8
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    tokens = np.random.RandomState(0).randint(0, 256, (B, 64)).astype(np.int32)
+    cache = impl.init(B, jnp.float32)
+
+    def fn(params, tokens, cache):
+        logits, cache = llama.prefill(cfg, params, tokens, cache, impl,
+                                      jnp.int32(64))
+        tok = jnp.argmax(logits[:, 63], axis=-1).astype(jnp.int32)[:, None]
+        logits2, cache = llama.decode_step(cfg, params, tok, cache, impl,
+                                           jnp.int32(64))
+        # replicated scalars: identical on every process iff the sharded
+        # computation is correct end to end
+        return (jnp.sum(jnp.abs(logits[:, 63])), jnp.sum(jnp.abs(logits2)),
+                tok[:, 0])
+
+    return cfg, eng, impl, params, tokens, cache, fn
+
+
+def run_sharded_step(dp: int, tp: int):
+    """Run the sharded step on the GLOBAL mesh (works single- or
+    multi-process).  Returns (checksum_prefill, checksum_decode, tokens)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mustafar_tpu.parallel import sharding as sh
+
+    cfg, eng, impl, params, tokens_np, cache, fn = _step_program()
+    mesh = sh.make_mesh(dp, tp)
+
+    def put(np_arr, spec):
+        s = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(np_arr.shape, s,
+                                            lambda idx: np_arr[idx])
+
+    pspecs = sh.filter_specs_for(params, sh.param_specs(cfg))
+    params = jax.tree.map(lambda x, sp: put(np.asarray(x), sp), params, pspecs,
+                          is_leaf=lambda x: isinstance(x, P))
+    cspecs = sh.cache_specs(eng, cache)
+    cache = jax.tree.map(lambda x, sp: put(np.asarray(x), sp), cache, cspecs,
+                         is_leaf=lambda x: isinstance(x, P))
+    tokens = put(tokens_np, P("data", None))
+
+    # replicate all outputs so every process can fetch them (the token vector
+    # is data-sharded inside the program; an out_sharding of P() all-gathers)
+    rep = NamedSharding(mesh, P())
+    s1, s2, tok = jax.jit(fn, out_shardings=(rep, rep, rep))(
+        params, tokens, cache)
+    return float(s1), float(s2), np.asarray(jax.device_get(tok))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", required=True)
+    ap.add_argument("--num-processes", type=int, required=True)
+    ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("--dp", type=int, default=4)
+    ap.add_argument("--tp", type=int, default=2)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")   # axon ignores JAX_PLATFORMS
+    initialize(args.coordinator, args.num_processes, args.process_id)
+    assert jax.process_count() == args.num_processes
+
+    s1, s2, tok = run_sharded_step(args.dp, args.tp)
+    with open(args.out, "w") as f:
+        json.dump({"process": args.process_id,
+                   "n_processes": jax.process_count(),
+                   "n_devices": len(jax.devices()),
+                   "n_local": len(jax.local_devices()),
+                   "prefill_sum": s1, "decode_sum": s2,
+                   "tokens": tok.tolist()}, f)
+    print(f"process {args.process_id}: prefill_sum={s1:.6f} "
+          f"decode_sum={s2:.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
