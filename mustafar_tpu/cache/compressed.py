@@ -167,6 +167,125 @@ class CompressedKVCache:
         lc["v_win"] = jnp.where(valid, win_rows_v, 0).astype(lc["v_win"].dtype)
         return out, lc
 
+    # -- chunked prefill --------------------------------------------------
+    def segment_attend(self, lc, q, k, v, seg_start, true_len):
+        """Chunked-prefill step: one C-token segment attends to
+        (packed pools ++ dense window ++ causal self) and is absorbed into
+        the cache state.
+
+        Unlike monolithic prefill (reference flash prefill over the dense
+        prompt, llama_mustafar_Kt_Mag_Vt_Mag.py:1034-1037), past context here
+        is read through the compressed cache — activation memory per step is
+        O(C), which is what unlocks long-context prefill on one chip.  The
+        accuracy delta of pruned-past prefill is measurable through the
+        harness (cli accuracy).
+
+        Invariants with seg_start = s*C: on entry n_chunks = max(0, s-1) and
+        the window holds tokens [n_chunks*C, seg_start) (length 0 or C); on
+        exit they take the same form for s+1, with the final partial segment
+        leaving window = [comp_len, true_len) exactly as monolithic prefill.
+        """
+        from mustafar_tpu.ops.attention import attention_partials, merge_partials
+
+        B, Tseg, Hq, D = q.shape
+        Hkv = self.model.num_kv_heads
+        C, r = self.C, self.r
+        assert Tseg == C, (Tseg, C)
+        nc = lc["n_chunks"][0]
+        wl = seg_start - nc * C                                  # 0 or C
+
+        # --- pools partials ---
+        if self.use_pallas:
+            from mustafar_tpu.ops.kernels import sparse_attention as ska
+            call = lambda q_, pool6_, nc_, ss_: \
+                ska.fused_sparse_segment_attention(
+                    q_, self._pool_bh(pool6_), nc_, ss_, self.kfmt, self.vfmt,
+                    self.max_chunks, window=self.window)
+            if self.mesh is not None:
+                from mustafar_tpu.parallel import sharding as sh
+                from jax.sharding import PartitionSpec as P
+                qspec = P("data", None, "model", None)
+                call = jax.shard_map(
+                    call, mesh=self.mesh,
+                    in_specs=(qspec, P(None, "data", "model", None, None),
+                              P(), P()),
+                    out_specs=(qspec, qspec, qspec), check_vma=False)
+            p_pool = call(q, lc["kv_pool"], nc, seg_start)
+        else:
+            p_pool = self._segment_pool_partials_xla(lc, q, nc, seg_start)
+
+        # --- window partials (all window tokens precede the segment) ---
+        S = self.wcap
+        wpos = nc * C + jnp.arange(S)                            # absolute
+        qpos = seg_start + jnp.arange(Tseg)
+        wmask = (jnp.arange(S) < wl)[None, :] & jnp.ones((Tseg, 1), bool)
+        if self.window is not None:
+            wmask &= wpos[None, :] > (qpos[:, None] - self.window)
+        p_win = attention_partials(q, lc["k_win"], lc["v_win"], wmask)
+
+        # --- causal self partials ---
+        smask = jnp.arange(Tseg)[None, :] <= jnp.arange(Tseg)[:, None]
+        if self.window is not None:
+            smask &= (jnp.arange(Tseg)[None, :]
+                      > jnp.arange(Tseg)[:, None] - self.window)
+        p_self = attention_partials(q, k, v, smask)
+
+        out = merge_partials([p_pool, p_win, p_self]).astype(q.dtype)
+
+        # --- absorb segment into the state ---
+        seg_valid = jnp.clip(true_len - seg_start, 0, C)
+        total = seg_start + seg_valid
+        nc_after = jnp.maximum(total - r, 0) // C
+        do_pack = nc_after > nc
+
+        lc = dict(lc)
+        # predicated pack of the current window's C tokens into pool slot nc
+        k_rows = self._pack_chunk(lc["k_win"][:, :C], self.kfmt)
+        v_rows = self._pack_chunk(lc["v_win"][:, :C], self.vfmt)
+        new_rows = jnp.concatenate([k_rows, v_rows], axis=-2)
+        new6 = new_rows.reshape(B, Hkv, *new_rows.shape[1:])
+        slot = jnp.clip(nc, 0, self.max_chunks - 1)
+        cur = jax.lax.dynamic_slice(
+            lc["kv_pool"], (slot, 0, 0, 0, 0), (1, *lc["kv_pool"].shape[1:]))
+        lc["kv_pool"] = jax.lax.dynamic_update_slice(
+            lc["kv_pool"],
+            jnp.where(do_pack, new6[None].astype(cur.dtype), cur),
+            (slot, 0, 0, 0, 0))
+
+        # rebuild the window from [old window ++ segment] shifted by the pack
+        seg_rows = (jnp.arange(C) < seg_valid)[None, :, None, None]
+        for key, seg_kv in (("k_win", k), ("v_win", v)):
+            old = jnp.where((jnp.arange(self.wcap) < wl)[None, :, None, None],
+                            lc[key], 0)
+            # C + wcap rows so the post-pack slice [C, C + wcap) never clamps
+            tmp = jnp.concatenate(
+                [old, jnp.zeros((B, C, Hkv, D), old.dtype)], axis=1)
+            tmp = jax.lax.dynamic_update_slice(
+                tmp, jnp.where(seg_rows, seg_kv, 0).astype(tmp.dtype),
+                (0, wl, 0, 0))
+            lc[key] = jax.lax.dynamic_slice(
+                tmp, (0, do_pack.astype(jnp.int32) * C, 0, 0),
+                (B, self.wcap, Hkv, D))
+        lc["n_chunks"] = jnp.full((B,), nc_after, jnp.int32)
+        return out, lc
+
+    def _segment_pool_partials_xla(self, lc, q, nc, seg_start):
+        """XLA fallback for segment-over-pools partials (CPU path)."""
+        from mustafar_tpu.ops.attention import attention_partials
+        B, Tseg, Hq, D = q.shape
+        S = self.max_chunks * self.C
+        KR = self.kfmt.stream_rows
+        k_dense = self._decode_pool(lc["kv_pool"][..., :KR, :], self.kfmt, B)
+        v_dense = self._decode_pool(lc["kv_pool"][..., KR:, :], self.vfmt, B)
+        # [B, Hkv, S, D] -> [B, S, Hkv, D]
+        k_dense = jnp.transpose(k_dense, (0, 2, 1, 3))
+        v_dense = jnp.transpose(v_dense, (0, 2, 1, 3))
+        mask = (jnp.arange(S) < nc * self.C)[None, :] & jnp.ones((Tseg, 1), bool)
+        if self.window is not None:
+            qpos = seg_start + jnp.arange(Tseg)
+            mask &= jnp.arange(S)[None, :] > (qpos[:, None] - self.window)
+        return attention_partials(q, k_dense, v_dense, mask)
+
     # -- decode -----------------------------------------------------------
     def decode_attend(self, lc, q, k, v, pos):
         """q [B,1,Hq,D]; appends k/v (1 token) and attends pools + window.

@@ -33,6 +33,10 @@ def _add_engine_args(p: argparse.ArgumentParser):
     p.add_argument("--residual_length", type=int, default=32)
     p.add_argument("--max_seq_len", type=int, default=4608)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--chunked_prefill", action="store_true",
+                   help="stream the prompt chunk-by-chunk through the "
+                        "compressed cache (O(chunk) activation memory; "
+                        "prefill attends to the pruned past)")
 
 
 def _build_engine(args, model_cfg):
@@ -51,7 +55,8 @@ def _build_engine(args, model_cfg):
                         v_sparsity=args.v_sparsity, group_size=args.group_size,
                         residual_length=args.residual_length)
     return EngineConfig(model=model_cfg, prune=prune, cache_mode=cache_mode,
-                        max_seq_len=args.max_seq_len)
+                        max_seq_len=args.max_seq_len,
+                        chunked_prefill=getattr(args, "chunked_prefill", False))
 
 
 def cmd_predict(args):

@@ -183,6 +183,13 @@ class EngineConfig:
     chunk_size: int = 256            # compaction chunk (reference llama_mustafar_kernel.py:324)
     prefill_bucket: int = 256        # prefill lengths padded to a multiple of this
     batch_size: int = 1
+    # Chunked prefill (COMPRESSED mode): stream the prompt through the stack
+    # one chunk at a time, attending to the packed past — O(B*chunk)
+    # activation memory instead of O(B*T) (the single-chip long-context
+    # limiter).  Prefill attention then sees the *pruned* past (the reference
+    # flash prefill sees the dense prompt); the accuracy delta is measurable
+    # via `cli accuracy`.
+    chunked_prefill: bool = False
     # Sharding (new capability vs the single-GPU reference — SURVEY.md §2.6).
     dp_axis: str = "data"
     tp_axis: str = "model"
@@ -199,3 +206,10 @@ class EngineConfig:
                 f"compressed chunk ({self.chunk_size}) plus the residual "
                 f"window ({self.prune.residual_length})")
         assert self.max_seq_len > 0 and self.prefill_bucket > 0
+        if self.chunked_prefill:
+            assert self.cache_mode == CacheMode.COMPRESSED, (
+                "chunked_prefill requires the compressed cache")
+            assert self.prefill_bucket % self.chunk_size == 0, (
+                f"chunked prefill segments are chunk-sized: prefill_bucket "
+                f"{self.prefill_bucket} must be a multiple of chunk_size "
+                f"{self.chunk_size}")

@@ -119,6 +119,11 @@ def forward(cfg: ModelConfig, params: dict, tokens: jnp.ndarray, cache: Any,
     if mode == "prefill":
         def attend(lc, q, k, v):
             return cache_impl.prefill_attend(lc, q, k, v, aux)
+    elif mode == "prefill_segment":
+        seg_start, true_len = aux
+
+        def attend(lc, q, k, v):
+            return cache_impl.segment_attend(lc, q, k, v, seg_start, true_len)
     else:
         def attend(lc, q, k, v):
             return cache_impl.decode_attend(lc, q, k, v, aux)
@@ -131,7 +136,12 @@ def forward(cfg: ModelConfig, params: dict, tokens: jnp.ndarray, cache: Any,
     x, new_cache = jax.lax.scan(body, x, (params["layers"], cache))
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     if last_only:
-        x = jax.lax.dynamic_slice_in_dim(x, jnp.maximum(aux - 1, 0), 1, axis=1)
+        if mode == "prefill_segment":
+            seg_start, true_len = aux
+            idx = jnp.clip(true_len - 1 - seg_start, 0, tokens.shape[1] - 1)
+        else:
+            idx = jnp.maximum(aux - 1, 0)
+        x = jax.lax.dynamic_slice_in_dim(x, idx, 1, axis=1)
     head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
     logits = (x @ head.astype(x.dtype)).astype(jnp.float32)
     return logits, new_cache
@@ -171,6 +181,43 @@ def prefill(cfg: ModelConfig, params, tokens, cache, cache_impl, true_len,
     positions = jnp.arange(tokens.shape[1])
     return forward(cfg, params, tokens, cache, cache_impl, positions, "prefill",
                    true_len, last_only=last_only)
+
+
+def prefill_chunked(cfg: ModelConfig, params, tokens, cache, cache_impl,
+                    true_len):
+    """Chunked (segment-streamed) prefill over the compressed cache.
+
+    tokens [B, T] with T a multiple of the cache chunk size C; the prompt is
+    processed C tokens at a time through the whole stack, each segment
+    attending to (packed pools ++ window ++ causal self) via
+    CompressedKVCache.segment_attend.  Activation memory is O(B*C) instead of
+    O(B*T) — the monolithic-prefill [B,T,*] projection/MLP temps are the
+    single-chip context limiter (docs/PERFORMANCE.md).  Returns
+    (last-token logits [B, 1, V], cache); with the generator's C-aligned
+    prompt bucketing the last segment always contains position true_len - 1.
+    """
+    B, T = tokens.shape
+    C = cache_impl.C
+    assert T % C == 0, (T, C)
+    n_seg = T // C
+    segs = jnp.swapaxes(tokens.reshape(B, n_seg, C), 0, 1)     # [n_seg, B, C]
+
+    def body(carry, seg_in):
+        cache, last_logits = carry
+        s, seg_tokens = seg_in
+        seg_start = s * C
+        positions = seg_start + jnp.arange(C)
+        logits, cache = forward(cfg, params, seg_tokens, cache, cache_impl,
+                                positions, "prefill_segment",
+                                (seg_start, true_len), last_only=True)
+        is_last = (seg_start + C) >= jnp.int32(T)
+        last_logits = jnp.where(is_last, logits, last_logits)
+        return (cache, last_logits), None
+
+    init_logits = jnp.zeros((B, 1, cfg.vocab_size), jnp.float32)
+    (cache, last_logits), _ = jax.lax.scan(
+        body, (cache, init_logits), (jnp.arange(n_seg), segs))
+    return last_logits, cache
 
 
 def decode_step(cfg: ModelConfig, params, token, cache, cache_impl, pos):

