@@ -148,12 +148,27 @@ def _prune_row_at(buf: jnp.ndarray, idx: jnp.ndarray, prune_fn) -> jnp.ndarray:
 
 def _prune_block_at(buf: jnp.ndarray, start: jnp.ndarray, size: int, do: jnp.ndarray,
                     prune_fn) -> jnp.ndarray:
-    """Apply prune_fn to buf[:, start:start+size] when ``do`` (bool scalar)."""
-    cstart = jnp.clip(start, 0, buf.shape[1] - size)
-    blk = jax.lax.dynamic_slice_in_dim(buf, cstart, size, axis=1)
+    """Apply prune_fn to buf[:, start:start+size] when ``do``.
+
+    start/do scalar (uniform batch) or [B] (per-slot continuous batching —
+    each sequence prunes the group crossing ITS OWN boundary)."""
+    start = jnp.asarray(start)
+    if start.ndim == 0:
+        cstart = jnp.clip(start, 0, buf.shape[1] - size)
+        blk = jax.lax.dynamic_slice_in_dim(buf, cstart, size, axis=1)
+        pruned = prune_fn(blk)
+        new_blk = jnp.where(jnp.logical_and(do, start >= 0),
+                            pruned.astype(buf.dtype), blk)
+        return jax.lax.dynamic_update_slice_in_dim(buf, new_blk, cstart, axis=1)
+    B = buf.shape[0]
+    cstart = jnp.clip(start, 0, buf.shape[1] - size)               # [B]
+    idx = cstart[:, None] + jnp.arange(size)[None, :]              # [B, size]
+    blk = jnp.take_along_axis(buf, idx[:, :, None, None], axis=1)  # [B,size,H,D]
     pruned = prune_fn(blk)
-    new_blk = jnp.where(jnp.logical_and(do, start >= 0), pruned.astype(buf.dtype), blk)
-    return jax.lax.dynamic_update_slice_in_dim(buf, new_blk, cstart, axis=1)
+    sel = jnp.logical_and(do, start >= 0)[:, None, None, None]
+    new_blk = jnp.where(sel, pruned.astype(buf.dtype), blk)
+    bidx = jnp.arange(B)[:, None]
+    return buf.at[bidx, idx].set(new_blk)
 
 
 class MaskedKVCache(DenseKVCache):
@@ -307,11 +322,6 @@ class MaskedKVCache(DenseKVCache):
         elif m.k_policy == "token_opa":
             lc = self._decode_prune_k_opa(lc, q, exit_idx)
 
-        if pos.ndim > 0 and m.v_policy in ("channel_mag", "channel_opa"):
-            raise NotImplementedError(
-                "channel (Vc) pruning needs uniform positions (no continuous "
-                "batching): group boundaries are per-slot")
-
         # ---- V ----
         if m.v_policy == "token_mag":
             lc["v"] = _prune_row_at(lc["v"], exit_idx,
@@ -434,28 +444,32 @@ class MaskedKVCache(DenseKVCache):
 
     def _decode_prune_v_channel_opa(self, lc, attn_w, exit_idx):
         """Channel-Opa: accumulate like v_opa; prune the exiting group (token
-        axis per channel) with ring scores when the boundary crosses."""
+        axis per channel) with ring scores when the boundary crosses.
+
+        exit_idx scalar (uniform) or [B] (per-slot continuous batching)."""
         B, S = lc["v"].shape[0], lc["v"].shape[1]
         r = self.p.residual_length
         gs = self.p.group_size
-        pos = jnp.asarray(exit_idx) + r
-        assert jnp.asarray(exit_idx).ndim == 0, (
-            "channel-Opa needs uniform positions")
+        exit_v = jnp.broadcast_to(jnp.asarray(exit_idx).reshape(-1), (B,))
+        pos = exit_v + r
         # prune exiting group when boundary crosses (scores first, then zero)
-        boundary = jnp.logical_and(exit_idx >= gs - 1, (exit_idx - (gs - 1)) % gs == 0)
-        start = jnp.clip(exit_idx - (gs - 1), 0, S - gs)
-        blk = jax.lax.dynamic_slice_in_dim(lc["v"], start, gs, axis=1)
-        g_idx = start + jnp.arange(gs)
+        boundary = jnp.logical_and(exit_v >= gs - 1,
+                                   (exit_v - (gs - 1)) % gs == 0)  # [B]
+        start = jnp.clip(exit_v - (gs - 1), 0, S - gs)             # [B]
+        bidx = jnp.arange(B)[:, None]
+        g_idx = start[:, None] + jnp.arange(gs)[None, :]           # [B, gs]
         g_slots = jnp.mod(g_idx, r)
-        sblk = lc["v_score"][:, g_slots]                        # [B,gs,H,D]
+        blk = jnp.take_along_axis(lc["v"], g_idx[:, :, None, None], axis=1)
+        sblk = lc["v_score"][bidx, g_slots]                        # [B,gs,H,D]
         pruned = jnp.swapaxes(
             pruning.prune_channel_by_score(jnp.swapaxes(blk, 1, 2),
                                            jnp.swapaxes(sblk, 1, 2),
                                            self.p.v_sparsity, gs), 1, 2)
-        new_blk = jnp.where(boundary, pruned, blk).astype(blk.dtype)
-        lc["v"] = jax.lax.dynamic_update_slice_in_dim(lc["v"], new_blk, start, axis=1)
-        zeroed = jnp.where(boundary, 0.0, sblk)
-        lc["v_score"] = lc["v_score"].at[:, g_slots].set(zeroed)
+        sel = boundary[:, None, None, None]
+        new_blk = jnp.where(sel, pruned, blk).astype(blk.dtype)
+        lc["v"] = lc["v"].at[bidx, g_idx].set(new_blk)
+        zeroed = jnp.where(sel, 0.0, sblk)
+        lc["v_score"] = lc["v_score"].at[bidx, g_slots].set(zeroed)
         # accumulate current step for the window tokens
         abs_idx, slots, valid, _ = self._window_geometry(pos, B)
         w_kv = self._fold_w_kv(attn_w)

@@ -46,12 +46,6 @@ class ContinuousBatchingEngine:
 
     def __init__(self, engine: EngineConfig, params, dtype=jnp.bfloat16,
                  eos_id: Optional[int] = None, use_native: bool = True):
-        if engine.cache_mode == CacheMode.MASKED:
-            m = engine.prune.method
-            assert m.v_policy not in ("channel_mag", "channel_opa"), (
-                "channel (Vc) pruning needs uniform positions (per-slot group "
-                "boundaries are unsupported); token policies (mag and opa) "
-                "and the compressed cache support continuous batching")
         self.engine = engine
         self.cfg = engine.model
         self.params = params

@@ -187,3 +187,27 @@ def test_opa_continuous_batching_matches_generator():
     outs = cb.run()
     np.testing.assert_array_equal(outs[u1], want1)
     np.testing.assert_array_equal(outs[u2], want2)
+
+
+def test_vc_channel_policies_continuous_batching():
+    """Channel (Vc) pruning under per-slot positions: each sequence prunes the
+    group crossing its OWN boundary; scheduler must match the single-request
+    Generator for both Vc_Mag and Vc_Opa (removes the round-1 guard)."""
+    for mode in (PruneMethod.KT_MAG_VC_MAG, PruneMethod.KT_MAG_VC_OPA):
+        eng, params = _setup(cache_mode=CacheMode.MASKED)
+        eng = __import__("dataclasses").replace(
+            eng, prune=PruneConfig(method=mode, k_sparsity=0.5,
+                                   v_sparsity=0.5, group_size=32,
+                                   residual_length=32))
+        rs = np.random.RandomState(21)
+        p1 = rs.randint(0, 512, size=40)
+        p2 = rs.randint(0, 512, size=90)   # different group phase per slot
+        gen = Generator(eng, params, dtype=jnp.float32)
+        want1 = gen.generate(p1[None], max_new_tokens=40)[0]
+        want2 = gen.generate(p2[None], max_new_tokens=40)[0]
+
+        cb = ContinuousBatchingEngine(eng, params, dtype=jnp.float32)
+        u1, u2 = cb.submit(p1, 40), cb.submit(p2, 40)
+        outs = cb.run()
+        np.testing.assert_array_equal(outs[u1], want1, err_msg=str(mode))
+        np.testing.assert_array_equal(outs[u2], want2, err_msg=str(mode))
