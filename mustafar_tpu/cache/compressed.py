@@ -73,6 +73,9 @@ class CompressedKVCache:
         # set by the runtime/tests to run the kernel head-local on a device
         # mesh (parallel.sharding.shard_headlocal_attend); None = single-device
         self.mesh = None
+        # decode never writes the pools (compaction is a separate jitted path)
+        # — lets the model's layer scan skip re-stacking them every token
+        self.decode_invariant_keys = ("kv_pool",)
 
     # -- state ------------------------------------------------------------
     def init(self, batch: int, dtype=jnp.bfloat16) -> dict:

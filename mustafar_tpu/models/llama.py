@@ -128,12 +128,23 @@ def forward(cfg: ModelConfig, params: dict, tokens: jnp.ndarray, cache: Any,
         def attend(lc, q, k, v):
             return cache_impl.decode_attend(lc, q, k, v, aux)
 
+    # Keys the decode step never writes (e.g. the compressed kv_pool, whose
+    # compaction runs outside the step).  Excluding them from the layer-scan
+    # output stops XLA from re-stacking the full pool every token (measured
+    # ~0.77 ms/step copy in the round-1 decode trace).
+    inv_keys = (tuple(getattr(cache_impl, "decode_invariant_keys", ()))
+                if mode == "decode" else ())
+
     def body(x, layer_in):
         lp, lc = layer_in
         x, lc = _layer(cfg, lp, x, cos, sin, attend, lc)
+        if inv_keys:
+            lc = {k: v for k, v in lc.items() if k not in inv_keys}
         return x, lc
 
     x, new_cache = jax.lax.scan(body, x, (params["layers"], cache))
+    if inv_keys:
+        new_cache = dict(new_cache, **{k: cache[k] for k in inv_keys})
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     if last_only:
         if mode == "prefill_segment":
