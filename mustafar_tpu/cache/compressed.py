@@ -61,8 +61,19 @@ class CompressedKVCache:
         self.r = p.residual_length
         self.wcap = self.r + C
         self.max_chunks = max(1, (engine.max_seq_len - self.r) // C)
-        self.kfmt = sf.ChunkFormat(C, m.head_dim, p.kept_per_row(m.head_dim, p.k_sparsity))
-        self.vfmt = sf.ChunkFormat(C, m.head_dim, p.kept_per_row(m.head_dim, p.v_sparsity))
+        self.k_keep = p.kept_per_row(m.head_dim, p.k_sparsity)
+        self.v_keep = p.kept_per_row(m.head_dim, p.v_sparsity)
+        # chunk storage codec: bitmap-packed sparse streams (capacity-optimal)
+        # or quantized-dense (latency-optimal) — see ops/quant_format.py
+        if engine.codec == "bitmap":
+            self.qcodec = None
+            self.kfmt = sf.ChunkFormat(C, m.head_dim, self.k_keep)
+            self.vfmt = sf.ChunkFormat(C, m.head_dim, self.v_keep)
+        else:
+            from mustafar_tpu.ops import quant_format as qf
+            self.qcodec = qf.QuantCodec(
+                C, m.head_dim, 8, 4 if engine.codec == "q8q4" else 8)
+            self.kfmt = self.vfmt = None
         self.window = m.sliding_window
         if self.window is not None:
             assert self.window >= self.wcap, (
@@ -75,20 +86,28 @@ class CompressedKVCache:
         self.mesh = None
         # decode never writes the pools (compaction is a separate jitted path)
         # — lets the model's layer scan skip re-stacking them every token
-        self.decode_invariant_keys = ("kv_pool",)
+        self.decode_invariant_keys = (("kv_pool",) if self.qcodec is None
+                                      else ("kv_pool", "kv_scales"))
 
     # -- state ------------------------------------------------------------
     def init(self, batch: int, dtype=jnp.bfloat16) -> dict:
         m = self.model
         mc = self.max_chunks
-        rows = self.kfmt.stream_rows + self.vfmt.stream_rows
-        return {
+        rows = (self.qcodec.stream_rows if self.qcodec is not None
+                else self.kfmt.stream_rows + self.vfmt.stream_rows)
+        state = {
             "k_win": jnp.zeros((m.num_layers, batch, self.wcap, m.num_kv_heads, m.head_dim), dtype),
             "v_win": jnp.zeros((m.num_layers, batch, self.wcap, m.num_kv_heads, m.head_dim), dtype),
             "n_chunks": jnp.zeros((m.num_layers, batch), jnp.int32),
             "kv_pool": jnp.zeros((m.num_layers, mc, batch, m.num_kv_heads,
                                   rows, 128), jnp.int16),
         }
+        if self.qcodec is not None:
+            # per (chunk, head, channel) quantization scales, K then V
+            state["kv_scales"] = jnp.zeros(
+                (m.num_layers, mc, batch, m.num_kv_heads, 2, m.head_dim),
+                jnp.bfloat16)
+        return state
 
     def _pool_bh(self, pool6):
         """Per-layer pool [mc, B, Hkv, ROWS, 128] -> kernel view
@@ -96,12 +115,24 @@ class CompressedKVCache:
         mc, B, H, R, L = pool6.shape
         return pool6.reshape(mc, B * H, R, L)
 
+    def _scales_bh(self, s6):
+        """Per-layer scales [mc, B, Hkv, 2, D] -> kernel views
+        (kscales, vscales) each [mc, B*Hkv, D]."""
+        mc, B, H, _, D = s6.shape
+        r = s6.reshape(mc, B * H, 2, D)
+        return r[:, :, 0], r[:, :, 1]
+
     def insert_slot(self, cache: dict, sub: dict, slot) -> dict:
         """Insert a batch-1 compressed cache into batch slot ``slot``."""
         out = dict(cache)
         out["kv_pool"] = jax.lax.dynamic_update_slice(
             cache["kv_pool"], sub["kv_pool"].astype(cache["kv_pool"].dtype),
             (0, 0, slot, 0, 0, 0))
+        if "kv_scales" in cache:
+            out["kv_scales"] = jax.lax.dynamic_update_slice(
+                cache["kv_scales"],
+                sub["kv_scales"].astype(cache["kv_scales"].dtype),
+                (0, 0, slot, 0, 0, 0))
         for key in ("k_win", "v_win"):
             out[key] = jax.lax.dynamic_update_slice_in_dim(
                 cache[key], sub[key].astype(cache[key].dtype), slot, axis=1)
@@ -116,15 +147,42 @@ class CompressedKVCache:
         x = jnp.transpose(dense_bthd, (0, 2, 1, 3)).reshape(B * H, C, D)
         return sf.prune_and_encode_stream(x.astype(jnp.bfloat16), fmt)
 
+    def _pack_chunk_q(self, dense_bthd: jnp.ndarray, kind: str):
+        """Quant codec: dense [B, C, Hkv, D] -> (rows [BH, R, 128] int16,
+        scales [BH, D] bf16).  Prune first (same top-k rule as the bitmap
+        path), then quantize the survivors (ops/quant_format.py)."""
+        from mustafar_tpu.ops import quant_format as qf
+        B, C, H, D = dense_bthd.shape
+        x = jnp.transpose(dense_bthd, (0, 2, 1, 3)).reshape(B * H, C, D)
+        x = x.astype(jnp.bfloat16)
+        keep = self.k_keep if kind == "k" else self.v_keep
+        pruned = jnp.where(sf.topk_mask(x, keep), x, 0).astype(jnp.bfloat16)
+        return qf.encode_chunk(pruned, self.qcodec, kind)
+
+    def _pack_rows_scales(self, k_chunk, v_chunk):
+        """Prune+pack K and V chunks ([B, C, Hkv, D]) with the active codec.
+        Returns (rows6 [B, Hkv, ROWS, 128], scales6 [B, Hkv, 2, D] | None)."""
+        B, _, Hkv, _ = k_chunk.shape
+        if self.qcodec is None:
+            k_rows = self._pack_chunk(k_chunk, self.kfmt)
+            v_rows = self._pack_chunk(v_chunk, self.vfmt)
+            scales6 = None
+        else:
+            k_rows, k_sc = self._pack_chunk_q(k_chunk, "k")
+            v_rows, v_sc = self._pack_chunk_q(v_chunk, "v")
+            scales6 = jnp.stack([k_sc, v_sc], axis=1).reshape(
+                B, Hkv, 2, k_sc.shape[-1])
+        rows = jnp.concatenate([k_rows, v_rows], axis=-2)      # [BH, ROWS, 128]
+        return rows.reshape(B, Hkv, *rows.shape[1:]), scales6
+
     def _append_chunk(self, lc, chunk_idx, k_chunk, v_chunk):
         """Prune+pack one dense chunk ([B, C, Hkv, D]) into pool slot chunk_idx."""
-        B, _, Hkv, _ = k_chunk.shape
-        k_rows = self._pack_chunk(k_chunk, self.kfmt)
-        v_rows = self._pack_chunk(v_chunk, self.vfmt)
-        rows = jnp.concatenate([k_rows, v_rows], axis=-2)      # [BH, ROWS, 128]
-        rows = rows.reshape(B, Hkv, *rows.shape[1:])
+        rows6, scales6 = self._pack_rows_scales(k_chunk, v_chunk)
         lc["kv_pool"] = jax.lax.dynamic_update_slice(
-            lc["kv_pool"], rows[None], (chunk_idx, 0, 0, 0, 0))
+            lc["kv_pool"], rows6[None], (chunk_idx, 0, 0, 0, 0))
+        if scales6 is not None:
+            lc["kv_scales"] = jax.lax.dynamic_update_slice(
+                lc["kv_scales"], scales6[None], (chunk_idx, 0, 0, 0, 0))
         return lc
 
     def _decode_pool(self, rows, fmt, batch):
@@ -136,6 +194,28 @@ class CompressedKVCache:
         H = self.model.num_kv_heads
         dense = jnp.swapaxes(dense, 0, 1).reshape(BH, mc * fmt.chunk, fmt.dim)
         return dense.reshape(batch, H, mc * fmt.chunk, fmt.dim)
+
+    def _dense_pools(self, lc, batch):
+        """Decode the whole pool to dense (k, v) [B, Hkv, mc*C, D] with the
+        active codec (XLA fallback paths only)."""
+        H = self.model.num_kv_heads
+        mc, C, D = self.max_chunks, self.C, self.model.head_dim
+        if self.qcodec is None:
+            KR = self.kfmt.stream_rows
+            k = self._decode_pool(lc["kv_pool"][..., :KR, :], self.kfmt, batch)
+            v = self._decode_pool(lc["kv_pool"][..., KR:, :], self.vfmt, batch)
+            return k, v
+        from mustafar_tpu.ops import quant_format as qf
+        cdc = self.qcodec
+        rows = self._pool_bh(lc["kv_pool"])                    # [mc, BH, R, 128]
+        ks, vs = self._scales_bh(lc["kv_scales"])              # [mc, BH, D]
+        out = []
+        for kind, sl, sc in (("k", slice(0, cdc.k_rows), ks),
+                             ("v", slice(cdc.k_rows, cdc.stream_rows), vs)):
+            dense = qf.decode_chunk(rows[:, :, sl], sc, cdc, kind)
+            dense = jnp.swapaxes(dense, 0, 1).reshape(batch * H, mc * C, D)
+            out.append(dense.reshape(batch, H, mc * C, D))
+        return tuple(out)
 
     # -- prefill ----------------------------------------------------------
     def prefill_attend(self, lc, q, k, v, true_len):
@@ -199,21 +279,36 @@ class CompressedKVCache:
 
         # --- pools partials ---
         if self.use_pallas:
-            from mustafar_tpu.ops.kernels import sparse_attention as ska
-            call = lambda q_, pool6_, nc_, ss_: \
-                ska.fused_sparse_segment_attention(
-                    q_, self._pool_bh(pool6_), nc_, ss_, self.kfmt, self.vfmt,
-                    self.max_chunks, window=self.window)
-            if self.mesh is not None:
-                from mustafar_tpu.parallel import sharding as sh
-                from jax.sharding import PartitionSpec as P
-                qspec = P("data", None, "model", None)
-                call = jax.shard_map(
-                    call, mesh=self.mesh,
-                    in_specs=(qspec, P(None, "data", "model", None, None),
-                              P(), P()),
-                    out_specs=(qspec, qspec, qspec), check_vma=False)
-            p_pool = call(q, lc["kv_pool"], nc, seg_start)
+            from jax.sharding import PartitionSpec as P
+            qspec = P("data", None, "model", None)
+            pspec = P(None, "data", "model", None, None)
+            if self.qcodec is not None:
+                from mustafar_tpu.ops.kernels import quant_attention as qa
+                call = lambda q_, pool6_, s6_, nc_, ss_: \
+                    qa.fused_q_segment_attention(
+                        q_, self._pool_bh(pool6_), *self._scales_bh(s6_),
+                        nc_, ss_, self.qcodec, self.max_chunks,
+                        window=self.window)
+                if self.mesh is not None:
+                    call = jax.shard_map(
+                        call, mesh=self.mesh,
+                        in_specs=(qspec, pspec,
+                                  P(None, "data", "model", None, None),
+                                  P(), P()),
+                        out_specs=(qspec, qspec, qspec), check_vma=False)
+                p_pool = call(q, lc["kv_pool"], lc["kv_scales"], nc, seg_start)
+            else:
+                from mustafar_tpu.ops.kernels import sparse_attention as ska
+                call = lambda q_, pool6_, nc_, ss_: \
+                    ska.fused_sparse_segment_attention(
+                        q_, self._pool_bh(pool6_), nc_, ss_, self.kfmt,
+                        self.vfmt, self.max_chunks, window=self.window)
+                if self.mesh is not None:
+                    call = jax.shard_map(
+                        call, mesh=self.mesh,
+                        in_specs=(qspec, pspec, P(), P()),
+                        out_specs=(qspec, qspec, qspec), check_vma=False)
+                p_pool = call(q, lc["kv_pool"], nc, seg_start)
         else:
             p_pool = self._segment_pool_partials_xla(lc, q, nc, seg_start)
 
@@ -243,10 +338,8 @@ class CompressedKVCache:
 
         lc = dict(lc)
         # predicated pack of the current window's C tokens into pool slot nc
-        k_rows = self._pack_chunk(lc["k_win"][:, :C], self.kfmt)
-        v_rows = self._pack_chunk(lc["v_win"][:, :C], self.vfmt)
-        new_rows = jnp.concatenate([k_rows, v_rows], axis=-2)
-        new6 = new_rows.reshape(B, Hkv, *new_rows.shape[1:])
+        new6, scales6 = self._pack_rows_scales(lc["k_win"][:, :C],
+                                               lc["v_win"][:, :C])
         slot = jnp.clip(nc, 0, self.max_chunks - 1)
         cur = jax.lax.dynamic_slice(
             lc["kv_pool"], (slot, 0, 0, 0, 0), (1, *lc["kv_pool"].shape[1:]))
@@ -254,6 +347,14 @@ class CompressedKVCache:
             lc["kv_pool"],
             jnp.where(do_pack, new6[None].astype(cur.dtype), cur),
             (slot, 0, 0, 0, 0))
+        if scales6 is not None:
+            cur_s = jax.lax.dynamic_slice(
+                lc["kv_scales"], (slot, 0, 0, 0, 0),
+                (1, *lc["kv_scales"].shape[1:]))
+            lc["kv_scales"] = jax.lax.dynamic_update_slice(
+                lc["kv_scales"],
+                jnp.where(do_pack, scales6[None].astype(cur_s.dtype), cur_s),
+                (slot, 0, 0, 0, 0))
 
         # rebuild the window from [old window ++ segment] shifted by the pack
         seg_rows = (jnp.arange(C) < seg_valid)[None, :, None, None]
@@ -277,9 +378,7 @@ class CompressedKVCache:
         from mustafar_tpu.ops.attention import attention_partials
         B, Tseg, Hq, D = q.shape
         S = self.max_chunks * self.C
-        KR = self.kfmt.stream_rows
-        k_dense = self._decode_pool(lc["kv_pool"][..., :KR, :], self.kfmt, B)
-        v_dense = self._decode_pool(lc["kv_pool"][..., KR:, :], self.vfmt, B)
+        k_dense, v_dense = self._dense_pools(lc, B)
         # [B, Hkv, S, D] -> [B, S, Hkv, D]
         k_dense = jnp.transpose(k_dense, (0, 2, 1, 3))
         v_dense = jnp.transpose(v_dense, (0, 2, 1, 3))
@@ -312,17 +411,31 @@ class CompressedKVCache:
             lc["v_win"], v.astype(lc["v_win"].dtype), win_len - 1, axis=1)
 
         if self.use_pallas:
-            from mustafar_tpu.ops.kernels import sparse_attention as ska
-            call = lambda q_, pool6_, kw_, vw_, nc_, wl_: \
-                ska.fused_sparse_decode_attention_v7(
-                    q_, self._pool_bh(pool6_), kw_, vw_, nc_, wl_,
-                    self.kfmt, self.vfmt, self.max_chunks, hpb=16,
-                    window=self.window)
-            if self.mesh is not None:
-                from mustafar_tpu.parallel import sharding as sh
-                call = sh.shard_headlocal_attend(call, self.mesh)
-            out = call(q, lc["kv_pool"], lc["k_win"], lc["v_win"],
-                       n_chunks, win_len)
+            if self.qcodec is not None:
+                from mustafar_tpu.ops.kernels import quant_attention as qa
+                call = lambda q_, pool6_, s6_, kw_, vw_, nc_, wl_: \
+                    qa.fused_q_decode_attention(
+                        q_, self._pool_bh(pool6_), *self._scales_bh(s6_),
+                        kw_, vw_, nc_, wl_, self.qcodec, self.max_chunks,
+                        window=self.window)
+                if self.mesh is not None:
+                    from mustafar_tpu.parallel import sharding as sh
+                    call = sh.shard_headlocal_attend(call, self.mesh,
+                                                     quant=True)
+                out = call(q, lc["kv_pool"], lc["kv_scales"], lc["k_win"],
+                           lc["v_win"], n_chunks, win_len)
+            else:
+                from mustafar_tpu.ops.kernels import sparse_attention as ska
+                call = lambda q_, pool6_, kw_, vw_, nc_, wl_: \
+                    ska.fused_sparse_decode_attention_v7(
+                        q_, self._pool_bh(pool6_), kw_, vw_, nc_, wl_,
+                        self.kfmt, self.vfmt, self.max_chunks, hpb=16,
+                        window=self.window)
+                if self.mesh is not None:
+                    from mustafar_tpu.parallel import sharding as sh
+                    call = sh.shard_headlocal_attend(call, self.mesh)
+                out = call(q, lc["kv_pool"], lc["k_win"], lc["v_win"],
+                           n_chunks, win_len)
         else:
             out = self._decode_attend_xla(lc, q, n_chunks, win_len, B, Hkv, D)
         # NOTE: compaction is NOT performed here.  XLA:TPU executes BOTH
@@ -348,16 +461,31 @@ class CompressedKVCache:
             v[:, 0].astype(lc["v_win"].dtype))
 
         if self.use_pallas and Hkv in (8, 16):
-            from mustafar_tpu.ops.kernels import sparse_attention as ska
-            call = lambda q_, pool6_, kw_, vw_, nc_, wl_: \
-                ska.fused_sparse_decode_attention_v6ps(
-                    q_, self._pool_bh(pool6_), kw_, vw_, nc_, wl_,
-                    self.kfmt, self.vfmt, mc, window=self.window)
-            if self.mesh is not None:
-                from mustafar_tpu.parallel import sharding as sh
-                call = sh.shard_headlocal_attend(call, self.mesh,
-                                                 per_slot=True)
-            out = call(q, lc["kv_pool"], lc["k_win"], lc["v_win"], nc, win_len)
+            if self.qcodec is not None:
+                from mustafar_tpu.ops.kernels import quant_attention as qa
+                call = lambda q_, pool6_, s6_, kw_, vw_, nc_, wl_: \
+                    qa.fused_q_decode_attention_ps(
+                        q_, self._pool_bh(pool6_), *self._scales_bh(s6_),
+                        kw_, vw_, nc_, wl_, self.qcodec, mc,
+                        window=self.window)
+                if self.mesh is not None:
+                    from mustafar_tpu.parallel import sharding as sh
+                    call = sh.shard_headlocal_attend(call, self.mesh,
+                                                     per_slot=True, quant=True)
+                out = call(q, lc["kv_pool"], lc["kv_scales"], lc["k_win"],
+                           lc["v_win"], nc, win_len)
+            else:
+                from mustafar_tpu.ops.kernels import sparse_attention as ska
+                call = lambda q_, pool6_, kw_, vw_, nc_, wl_: \
+                    ska.fused_sparse_decode_attention_v6ps(
+                        q_, self._pool_bh(pool6_), kw_, vw_, nc_, wl_,
+                        self.kfmt, self.vfmt, mc, window=self.window)
+                if self.mesh is not None:
+                    from mustafar_tpu.parallel import sharding as sh
+                    call = sh.shard_headlocal_attend(call, self.mesh,
+                                                     per_slot=True)
+                out = call(q, lc["kv_pool"], lc["k_win"], lc["v_win"], nc,
+                           win_len)
         else:
             out = self._decode_attend_xla(lc, q, nc, win_len, B, Hkv, D)
 
@@ -399,10 +527,8 @@ class CompressedKVCache:
         def one(_, lc):
             B = lc["k_win"].shape[0]
             nc = lc["n_chunks"]
-            k_rows = self._pack_chunk(lc["k_win"][:, :C], self.kfmt)
-            v_rows = self._pack_chunk(lc["v_win"][:, :C], self.vfmt)
-            new_rows = jnp.concatenate([k_rows, v_rows], axis=-2)
-            new6 = new_rows.reshape(B, Hkv, *new_rows.shape[1:])
+            new6, scales6 = self._pack_rows_scales(lc["k_win"][:, :C],
+                                                   lc["v_win"][:, :C])
             b_i = jnp.arange(B)
             ci = jnp.clip(nc, 0, mc - 1)                       # [B]
             existing = lc["kv_pool"][ci, b_i]                  # [B,Hkv,ROWS,128]
@@ -410,6 +536,11 @@ class CompressedKVCache:
             lc = dict(lc)
             lc["kv_pool"] = lc["kv_pool"].at[ci, b_i].set(
                 jnp.where(sel, new6.astype(lc["kv_pool"].dtype), existing))
+            if scales6 is not None:
+                exist_s = lc["kv_scales"][ci, b_i]             # [B,Hkv,2,D]
+                lc["kv_scales"] = lc["kv_scales"].at[ci, b_i].set(
+                    jnp.where(sel, scales6.astype(lc["kv_scales"].dtype),
+                              exist_s))
             for key in ("k_win", "v_win"):
                 shifted = jnp.concatenate(
                     [lc[key][:, C:], jnp.zeros_like(lc[key][:, :C])], axis=1)
@@ -426,9 +557,7 @@ class CompressedKVCache:
         llama_mustafar_kernel.py:256-321).  n_chunks/win_len: scalar (uniform)
         or [B,1,1,1] (per-slot)."""
         S = self.max_chunks * self.C
-        KR = self.kfmt.stream_rows
-        k_dense = self._decode_pool(lc["kv_pool"][..., :KR, :], self.kfmt, B)
-        v_dense = self._decode_pool(lc["kv_pool"][..., KR:, :], self.vfmt, B)
+        k_dense, v_dense = self._dense_pools(lc, B)
         G = q.shape[2] // Hkv
         qg = q[:, 0].reshape(B, Hkv, G, D)
         scale = 1.0 / jnp.sqrt(jnp.float32(D))

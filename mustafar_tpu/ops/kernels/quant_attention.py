@@ -1,0 +1,564 @@
+"""Pallas TPU decode/prefill kernels for the quantized-dense ("q8") codec.
+
+Same fused flash-decoding structure as the bitmap-codec kernels
+(ops/kernels/sparse_attention.py v6ps/v7/segment — themselves the TPU
+redesign of the reference CUDA SpMV pair, kernel/csrc/SpMM_Kernel.cuh), but
+chunk expansion is pure widen arithmetic on the VPU:
+
+    int16 rows -> sign-extending shifts -> concat -> bf16
+
+with NO rank matmul and NO lane gathers (measured to be the entire
+sparse-vs-dense gap; see ops/quant_format.py).  Quantization scales are per
+(chunk, head, channel): the K scale folds into the query block before the
+score matmul, the V scale into the pv partial after it — dequantized chunks
+are never materialized.
+
+Entry points mirror the bitmap-codec kernels:
+
+  fused_q_decode_attention      — uniform-batch decode, in-kernel window
+  fused_q_decode_attention_ps   — per-slot counts (continuous batching);
+                                  pool partials in-kernel, window in XLA
+  fused_q_segment_attention     — multi-query-row segment over the pools
+                                  (chunked prefill), returns flash partials
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mustafar_tpu.ops.quant_format import QuantCodec
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _unpack(rows, bits: int):
+    """int16 [..., R, 128] -> bf16 [..., R*(16/bits), 128], row == token.
+
+    Sign-extending shift pairs per packed field; token blocks stack along
+    the sublane axis (matching quant_format.pack_codes).
+    """
+    n = 16 // bits
+    w = rows.astype(jnp.int32)
+    blocks = [(((w << (32 - bits * (j + 1))) >> (32 - bits))
+               ).astype(jnp.bfloat16) for j in range(n)]
+    return jnp.concatenate(blocks, axis=-2)
+
+
+def _bcast_heads(s, hpb: int, g8: int):
+    """[hpb, D] scale rows -> [hpb*g8, D] (each head row repeated g8x)."""
+    D = s.shape[-1]
+    return jnp.broadcast_to(s.reshape(hpb, 1, D), (hpb, g8, D)).reshape(
+        hpb * g8, D)
+
+
+# ---------------------------------------------------------------------------
+# Uniform-batch fused decode (counterpart of sparse_attention v7)
+# ---------------------------------------------------------------------------
+
+def _q_decode_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, ks_ref, vs_ref,
+                     q_ref, out_ref, buf, wbuf, sems, wsems, m_ref, l_ref,
+                     acc_ref, *, codec: QuantCodec, hpb, wt, fdepth, scale,
+                     nslots, window):
+    nc = scalars_ref[0]
+    win_len = scalars_ref[1]
+    b = pl.program_id(0)
+    h0 = b * hpb
+    D, C = codec.dim, codec.chunk
+    KR = codec.k_rows
+    VR = codec.v_rows
+    G8 = q_ref.shape[1]
+    HG = hpb * G8
+    HC = hpb * C
+    F = fdepth
+    n_fetch = (nc + F - 1) // F
+
+    def copy(slot, fi):
+        return pltpu.make_async_copy(
+            pool_hbm.at[pl.ds(fi * F, F), pl.ds(h0, hpb)], buf.at[slot],
+            sems.at[slot])
+
+    def wcopy(slot, wi, which):
+        src = (kw_hbm, vw_hbm)[which]
+        return pltpu.make_async_copy(
+            src.at[pl.ds(h0, hpb), pl.ds(wi * wt, wt)], wbuf.at[slot, which],
+            wsems.at[slot, which])
+
+    m_ref[:] = jnp.full(m_ref.shape, -1e30, jnp.float32)
+    l_ref[:] = jnp.zeros(l_ref.shape, jnp.float32)
+    acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+    n_wtiles = (win_len + wt - 1) // wt
+
+    for s in range(nslots - 1):
+        @pl.when(s < n_fetch)
+        def _(s=s):
+            copy(s, s).start()
+
+    @pl.when(nc == 0)
+    def _():
+        wcopy(0, 0, 0).start()
+        wcopy(0, 0, 1).start()
+
+    q_all = q_ref[:].reshape(HG, D)
+    hrow_q = jax.lax.broadcasted_iota(jnp.int32, (HG, HC), 0) // G8
+    hrow_k = jax.lax.broadcasted_iota(jnp.int32, (HG, HC), 1) // C
+    blk = hrow_q == hrow_k
+    if window is not None:
+        tcol = jax.lax.broadcasted_iota(jnp.int32, (1, HC), 1) % C
+        low = nc * C + win_len - 1 - window      # oldest live absolute token
+
+    def online(s, vmat, vs_hg):
+        m_old = m_ref[:].reshape(HG, 128)
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new[:, :1])
+        corr = jnp.exp(m_old - m_new)
+        l_ref[:] = (l_ref[:].reshape(HG, 128) * corr
+                    + jnp.sum(p, axis=-1, keepdims=True)).reshape(l_ref.shape)
+        pv = jax.lax.dot_general(p.astype(jnp.bfloat16), vmat,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if vs_hg is not None:
+            pv = pv * vs_hg
+        acc_ref[:] = (acc_ref[:].reshape(HG, D) * corr[:, :D]
+                      + pv).reshape(acc_ref.shape)
+        m_ref[:] = m_new.reshape(m_ref.shape)
+
+    def fetch_body(fi, _):
+        slot = fi % nslots
+
+        @pl.when(fi + (nslots - 1) < n_fetch)
+        def _():
+            copy((fi + nslots - 1) % nslots, fi + nslots - 1).start()
+
+        @pl.when(fi + 1 == n_fetch)
+        def _():
+            wcopy(0, 0, 0).start()
+            wcopy(0, 0, 1).start()
+
+        copy(slot, fi).wait()
+        for j in range(F):
+            ci = fi * F + j
+            kd = _unpack(buf[slot, j, :, :KR, :], codec.kbits).reshape(HC, D)
+            vd = _unpack(buf[slot, j, :, KR:KR + VR, :],
+                         codec.vbits).reshape(HC, D)
+            qk = (q_all * _bcast_heads(ks_ref[ci], hpb, G8)
+                  ).astype(jnp.bfloat16)
+            s = jax.lax.dot_general(qk, kd, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            mask = blk & (ci < nc)
+            if window is not None:
+                mask = mask & ((ci * C + tcol) > low)
+            s = jnp.where(mask, s, -1e30)
+            online(s, vd, _bcast_heads(vs_ref[ci], hpb, G8))
+        return 0
+
+    jax.lax.fori_loop(0, n_fetch, fetch_body, 0)
+
+    whq = jax.lax.broadcasted_iota(jnp.int32, (HG, hpb * wt), 0) // G8
+    whk = jax.lax.broadcasted_iota(jnp.int32, (HG, hpb * wt), 1) // wt
+    wpos_l = jax.lax.broadcasted_iota(jnp.int32, (HG, hpb * wt), 1) % wt
+    wblk = whq == whk
+
+    def win_body(wi, _):
+        slot = wi % 2
+
+        @pl.when(wi + 1 < n_wtiles)
+        def _():
+            wcopy((wi + 1) % 2, wi + 1, 0).start()
+            wcopy((wi + 1) % 2, wi + 1, 1).start()
+
+        wcopy(slot, wi, 0).wait()
+        wcopy(slot, wi, 1).wait()
+        kw_all = wbuf[slot, 0].reshape(hpb * wt, D)
+        vw_all = wbuf[slot, 1].reshape(hpb * wt, D)
+        s = jax.lax.dot_general(q_all, kw_all, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(wblk & ((wi * wt + wpos_l) < win_len), s, -1e30)
+        online(s, vw_all, None)
+        return 0
+
+    jax.lax.fori_loop(0, n_wtiles, win_body, 0)
+    out_ref[:] = (acc_ref[:].reshape(HG, D)
+                  / l_ref[:].reshape(HG, 128)[:, :1]).reshape(out_ref.shape)
+
+
+def fused_q_decode_attention(q, kv_pool, kscales, vscales, k_win, v_win,
+                             n_chunks, win_len, codec: QuantCodec,
+                             max_chunks: int, hpb: int = 8, wt: int = 96,
+                             fdepth: int = 4, nslots: int = 2,
+                             window: int | None = None):
+    """Fused decode over quantized pools, uniform batch.
+
+    q [B,1,Hq,D]; kv_pool [mc, BH, stream_rows, 128] int16;
+    kscales/vscales [mc, BH, D] bf16; k_win/v_win [B, Wcap, Hkv, D];
+    n_chunks/win_len int32 scalars.
+    """
+    B, _, Hq, D = q.shape
+    W = k_win.shape[1]
+    Hkv = k_win.shape[2]
+    G = Hq // Hkv
+    G8 = max(8, G)
+    BH = B * Hkv
+    hpb = min(hpb, BH)
+    while BH % hpb:
+        hpb //= 2
+    NB = BH // hpb
+    RQ = codec.stream_rows
+    assert kv_pool.shape == (max_chunks, BH, RQ, 128), kv_pool.shape
+    while max_chunks % fdepth:
+        fdepth //= 2
+    while W % wt:
+        wt //= 2
+
+    qg = q[:, 0].reshape(B, Hkv, G, D)
+    qpad = jnp.pad(qg.reshape(BH, G, D), ((0, 0), (0, G8 - G), (0, 0)))
+    qb = qpad.astype(jnp.bfloat16)
+    kw = jnp.transpose(k_win, (0, 2, 1, 3)).reshape(BH, W, D).astype(jnp.bfloat16)
+    vw = jnp.transpose(v_win, (0, 2, 1, 3)).reshape(BH, W, D).astype(jnp.bfloat16)
+
+    scalars = jnp.stack([n_chunks.astype(jnp.int32),
+                         win_len.astype(jnp.int32)])
+    sspec = pl.BlockSpec((max_chunks, hpb, D), lambda b, sref: (0, b, 0),
+                         memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NB,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  sspec, sspec,
+                  pl.BlockSpec((hpb, G8, D), lambda b, sref: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((hpb, G8, D), lambda b, sref: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nslots, fdepth, hpb, RQ, 128), jnp.int16),
+            pltpu.VMEM((2, 2, hpb, wt, D), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((nslots,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((hpb, G8, 128), jnp.float32),
+            pltpu.VMEM((hpb, G8, 128), jnp.float32),
+            pltpu.VMEM((hpb, G8, D), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_q_decode_kernel, codec=codec, hpb=hpb, wt=wt,
+                          fdepth=fdepth, scale=float(1.0 / np.sqrt(D)),
+                          nslots=nslots, window=window),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BH, G8, D), jnp.float32),
+        interpret=_interpret(),
+    )(scalars, kv_pool, kw, vw, kscales, vscales, qb)
+    return out[:, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Per-slot fused decode (counterpart of sparse_attention v6ps)
+# ---------------------------------------------------------------------------
+
+def _q_ps_kernel(scalars_ref, pool_hbm, ks_ref, vs_ref, q_ref, out_ref,
+                 m_out, l_out, buf, sems, m_ref, l_ref, acc_ref,
+                 *, codec: QuantCodec, hpb, hkv, nslots, scale, window):
+    b = pl.program_id(0)
+    h0 = b * hpb
+    D, C = codec.dim, codec.chunk
+    KR = codec.k_rows
+    VR = codec.v_rows
+    G8 = q_ref.shape[1]
+    HG = hpb * G8
+    HC = hpb * C
+
+    ncs = [scalars_ref[(h0 + j) // hkv] for j in range(hpb)]
+    wls = [scalars_ref[nslots + (h0 + j) // hkv] for j in range(hpb)]
+    nc_max = ncs[0]
+    for v in ncs[1:]:
+        nc_max = jnp.maximum(nc_max, v)
+
+    def copy(slot, ci):
+        return pltpu.make_async_copy(
+            pool_hbm.at[ci, pl.ds(h0, hpb)], buf.at[slot], sems.at[slot])
+
+    m_ref[:] = jnp.full(m_ref.shape, -1e30, jnp.float32)
+    l_ref[:] = jnp.zeros(l_ref.shape, jnp.float32)
+    acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    @pl.when(nc_max > 0)
+    def _():
+        copy(0, 0).start()
+
+    q_all = q_ref[:].reshape(HG, D)
+    hrow_q = jax.lax.broadcasted_iota(jnp.int32, (HG, HC), 0) // G8
+    hrow_k = jax.lax.broadcasted_iota(jnp.int32, (HG, HC), 1) // C
+    blk = hrow_q == hrow_k
+    hcol = jax.lax.broadcasted_iota(jnp.int32, (1, HC), 1) // C
+    nc_col = jnp.zeros((1, HC), jnp.int32)
+    for j in range(hpb):
+        nc_col = nc_col + jnp.where(hcol == j, ncs[j], 0)
+    if window is not None:
+        tcol = jax.lax.broadcasted_iota(jnp.int32, (1, HC), 1) % C
+        low_col = jnp.zeros((1, HC), jnp.int32)
+        for j in range(hpb):
+            low_col = low_col + jnp.where(
+                hcol == j, ncs[j] * C + wls[j] - 1 - window, 0)
+
+    def chunk_body(ci, _):
+        slot = ci % 2
+
+        @pl.when(ci + 1 < nc_max)
+        def _():
+            copy((ci + 1) % 2, ci + 1).start()
+
+        copy(slot, ci).wait()
+        kd = _unpack(buf[slot][:, :KR, :], codec.kbits).reshape(HC, D)
+        vd = _unpack(buf[slot][:, KR:KR + VR, :], codec.vbits).reshape(HC, D)
+        qk = (q_all * _bcast_heads(ks_ref[ci], hpb, G8)).astype(jnp.bfloat16)
+        s = jax.lax.dot_general(qk, kd, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        mask = blk & (ci < nc_col)
+        if window is not None:
+            mask = mask & ((ci * C + tcol) > low_col)
+        s = jnp.where(mask, s, -1e30)
+        m_old = m_ref[:].reshape(HG, 128)
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new[:, :1])
+        corr = jnp.exp(m_old - m_new)
+        l_ref[:] = (l_ref[:].reshape(HG, 128) * corr
+                    + jnp.sum(p, axis=-1, keepdims=True)).reshape(l_ref.shape)
+        pv = jax.lax.dot_general(p.astype(jnp.bfloat16), vd,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        pv = pv * _bcast_heads(vs_ref[ci], hpb, G8)
+        acc_ref[:] = (acc_ref[:].reshape(HG, D) * corr[:, :D]
+                      + pv).reshape(acc_ref.shape)
+        m_ref[:] = m_new.reshape(m_ref.shape)
+        return 0
+
+    jax.lax.fori_loop(0, nc_max, chunk_body, 0)
+    out_ref[:] = acc_ref[:]
+    m_out[:] = m_ref[:, :, :1]
+    l_out[:] = l_ref[:, :, :1]
+
+
+def fused_q_decode_attention_ps(q, kv_pool, kscales, vscales, k_win, v_win,
+                                n_chunks, win_len, codec: QuantCodec,
+                                max_chunks: int, hpb: int = 16,
+                                window: int | None = None):
+    """Per-slot decode over quantized pools: n_chunks/win_len are [B] vectors
+    (continuous batching).  Pool partials in-kernel; window part in XLA
+    (same split as sparse_attention.fused_sparse_decode_attention_v6ps)."""
+    B, _, Hq, D = q.shape
+    W = k_win.shape[1]
+    Hkv = k_win.shape[2]
+    G = Hq // Hkv
+    G8 = max(8, G)
+    BH = B * Hkv
+    hpb = min(hpb, BH)
+    while BH % hpb:
+        hpb //= 2
+    NB = BH // hpb
+    RQ = codec.stream_rows
+    assert kv_pool.shape == (max_chunks, BH, RQ, 128), kv_pool.shape
+    assert n_chunks.shape == (B,) and win_len.shape == (B,)
+
+    qg = q[:, 0].reshape(B, Hkv, G, D)
+    qpad = jnp.pad(qg.reshape(BH, G, D), ((0, 0), (0, G8 - G), (0, 0)))
+    qb = qpad.astype(jnp.bfloat16)
+
+    scalars = jnp.concatenate([n_chunks.astype(jnp.int32),
+                               win_len.astype(jnp.int32)])
+    sspec = pl.BlockSpec((max_chunks, hpb, D), lambda b, sref: (0, b, 0),
+                         memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NB,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), sspec, sspec,
+                  pl.BlockSpec((hpb, G8, D), lambda b, sref: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((hpb, G8, D), lambda b, sref: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((hpb, G8, 1), lambda b, sref: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((hpb, G8, 1), lambda b, sref: (b, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((2, hpb, RQ, 128), jnp.int16),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((hpb, G8, 128), jnp.float32),
+            pltpu.VMEM((hpb, G8, 128), jnp.float32),
+            pltpu.VMEM((hpb, G8, D), jnp.float32),
+        ],
+    )
+    acc, m_c, l_c = pl.pallas_call(
+        functools.partial(_q_ps_kernel, codec=codec, hpb=hpb, hkv=Hkv,
+                          nslots=B, scale=float(1.0 / np.sqrt(D)),
+                          window=window),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((BH, G8, D), jnp.float32),
+                   jax.ShapeDtypeStruct((BH, G8, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((BH, G8, 1), jnp.float32)),
+        interpret=_interpret(),
+    )(scalars, kv_pool, kscales, vscales, qb)
+
+    kw = jnp.transpose(k_win, (0, 2, 1, 3)).reshape(BH, W, D)
+    vw = jnp.transpose(v_win, (0, 2, 1, 3)).reshape(BH, W, D)
+    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+    wl_bh = jnp.repeat(win_len, Hkv)                             # [BH]
+    s_w = jax.lax.dot_general(qpad.astype(jnp.float32), kw.astype(jnp.float32),
+                              (((2,), (2,)), ((0,), (0,)))) * scale
+    s_w = jnp.where(jnp.arange(W)[None, None, :] < wl_bh[:, None, None],
+                    s_w, -jnp.inf)
+    m_w = jnp.max(s_w, axis=-1, keepdims=True)
+    m_w_safe = jnp.maximum(m_w, -1e30)
+    p_w = jnp.exp(s_w - m_w_safe)
+    l_w = jnp.sum(p_w, axis=-1, keepdims=True)
+    o_w = jax.lax.dot_general(p_w.astype(jnp.bfloat16), vw.astype(jnp.bfloat16),
+                              (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+
+    m_tot = jnp.maximum(m_c, m_w_safe)
+    a_c = jnp.exp(m_c - m_tot)
+    a_w = jnp.exp(m_w_safe - m_tot)
+    out = (acc * a_c + o_w * a_w) / (l_c * a_c + l_w * a_w)
+    return out[:, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Segment kernel (chunked prefill) over quantized pools
+# ---------------------------------------------------------------------------
+
+def _q_seg_kernel(scalars_ref, pool_hbm, ks_ref, vs_ref, q_ref, out_ref,
+                  m_out, l_out, buf, sems, *, codec: QuantCodec, fdepth,
+                  gsize, scale, window):
+    nc = scalars_ref[0]
+    seg_start = scalars_ref[1]
+    bh = pl.program_id(0)
+    D, C = codec.dim, codec.chunk
+    KR = codec.k_rows
+    VR = codec.v_rows
+    QR = q_ref.shape[1]
+
+    n_fetch = (nc + fdepth - 1) // fdepth
+
+    def copy(slot, fi):
+        return pltpu.make_async_copy(
+            pool_hbm.at[pl.ds(fi * fdepth, fdepth), bh], buf.at[slot],
+            sems.at[slot])
+
+    @pl.when(nc > 0)
+    def _():
+        copy(0, 0).start()
+
+    q_all = q_ref[0]                                            # [QR, D]
+    m = jnp.full((QR, 128), -1e30, jnp.float32)
+    l = jnp.zeros((QR, 128), jnp.float32)
+    acc = jnp.zeros((QR, D), jnp.float32)
+    tcol = jax.lax.broadcasted_iota(jnp.int32, (QR, C), 1)
+
+    def fetch_body(fi, carry):
+        m, l, acc = carry
+        slot = fi % 2
+
+        @pl.when(fi + 1 < n_fetch)
+        def _():
+            copy((fi + 1) % 2, fi + 1).start()
+
+        copy(slot, fi).wait()
+        for j in range(fdepth):
+            ci = fi * fdepth + j
+            kd = _unpack(buf[slot, j, :KR], codec.kbits)         # [C, D]
+            vd = _unpack(buf[slot, j, KR:KR + VR], codec.vbits)
+            qk = (q_all * ks_ref[ci]).astype(jnp.bfloat16)
+            s = jax.lax.dot_general(qk, kd, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            mask = jnp.full((QR, C), ci < nc)
+            if window is not None:
+                qpos = (seg_start
+                        + jax.lax.broadcasted_iota(jnp.int32, (QR, C), 0)
+                        // gsize)
+                mask = mask & ((ci * C + tcol) > (qpos - window))
+            s = jnp.where(mask, s, -1e30)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new[:, :1])
+            corr = jnp.exp(m - m_new)
+            l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(p.astype(jnp.bfloat16), vd,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            pv = pv * vs_ref[ci]
+            acc = acc * corr[:, :D] + pv
+            m = m_new
+        return m, l, acc
+
+    m, l, acc = jax.lax.fori_loop(0, n_fetch, fetch_body, (m, l, acc))
+    out_ref[0] = acc
+    m_out[0] = m[:, :1]
+    l_out[0] = l[:, :1]
+
+
+def fused_q_segment_attention(q_seg, kv_pool, kscales, vscales, n_chunks,
+                              seg_start, codec: QuantCodec, max_chunks: int,
+                              fdepth: int = 4, window: int | None = None):
+    """Segment (chunked-prefill) partials over quantized pools.
+
+    Same contract as sparse_attention.fused_sparse_segment_attention:
+    returns flash partials (acc, m, l) over the packed chunks only.
+    """
+    B, Tseg, Hq, D = q_seg.shape
+    Hkv = kv_pool.shape[1] // B
+    G = Hq // Hkv
+    BH = B * Hkv
+    QR = Tseg * G
+    RQ = codec.stream_rows
+    assert kv_pool.shape == (max_chunks, BH, RQ, 128), kv_pool.shape
+    while max_chunks % fdepth:
+        fdepth //= 2
+
+    qg = q_seg.reshape(B, Tseg, Hkv, G, D)
+    qb = jnp.transpose(qg, (0, 2, 1, 3, 4)).reshape(BH, QR, D).astype(jnp.bfloat16)
+
+    scalars = jnp.stack([n_chunks.astype(jnp.int32),
+                         jnp.asarray(seg_start, jnp.int32)])
+    sspec = pl.BlockSpec((max_chunks, 1, D), lambda b, sref: (0, b, 0),
+                         memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BH,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), sspec, sspec,
+                  pl.BlockSpec((1, QR, D), lambda b, sref: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, QR, D), lambda b, sref: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, QR, 1), lambda b, sref: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, QR, 1), lambda b, sref: (b, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((2, fdepth, RQ, 128), jnp.int16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    acc, m, l = pl.pallas_call(
+        functools.partial(_q_seg_kernel, codec=codec, fdepth=fdepth, gsize=G,
+                          scale=float(1.0 / np.sqrt(D)), window=window),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((BH, QR, D), jnp.float32),
+                   jax.ShapeDtypeStruct((BH, QR, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((BH, QR, 1), jnp.float32)),
+        interpret=_interpret(),
+    )(scalars, kv_pool, kscales, vscales, qb)
+
+    def unfold(x):
+        last = x.shape[-1]
+        y = x.reshape(B, Hkv, Tseg, G, last)
+        return jnp.transpose(y, (0, 2, 1, 3, 4)).reshape(B, Tseg, Hq, last)
+
+    return unfold(acc), unfold(m), unfold(l)

@@ -74,12 +74,16 @@ def cache_specs(engine: EngineConfig, cache_state: dict) -> dict:
             # b-major flattened dim would split batch twice and never shard
             # heads)
             specs[key] = P(None, None, "data", "model", None, None)
+        elif key == "kv_scales":
+            # quant-codec scales [L, mc, B, Hkv, 2, D] — same head locality
+            specs[key] = P(None, None, "data", "model", None, None)
         else:
             raise ValueError(key)
     return specs
 
 
-def shard_headlocal_attend(fn, mesh: Mesh, per_slot: bool = False):
+def shard_headlocal_attend(fn, mesh: Mesh, per_slot: bool = False,
+                           quant: bool = False):
     """shard_map a compressed decode-attention call so each shard runs the
     Pallas kernel on its local (batch x kv-head) rows only.
 
@@ -90,14 +94,16 @@ def shard_headlocal_attend(fn, mesh: Mesh, per_slot: bool = False):
     (SURVEY.md §7: per-head compressed streams never communicate), so no
     collectives appear inside attention; GSPMD handles the surrounding
     projections.  per_slot: n_chunks/win_len are [B] vectors sharded over
-    "data" (continuous batching)."""
+    "data" (continuous batching).  quant: fn takes the per-layer scales
+    state [mc, B, Hkv, 2, D] right after the pool (q8 codec)."""
     qspec = P("data", None, "model", None)
     wspec = P("data", None, "model", None)
     pool = P(None, "data", "model", None, None)
     scal = P("data") if per_slot else P()
+    extra = (P(None, "data", "model", None, None),) if quant else ()
     return jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(qspec, pool, wspec, wspec, scal, scal),
+        in_specs=(qspec, pool, *extra, wspec, wspec, scal, scal),
         out_specs=qspec,
         # pallas_call out_shapes carry no varying-mesh-axes annotation
         check_vma=False)

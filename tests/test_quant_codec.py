@@ -1,0 +1,263 @@
+"""Quantized-dense codec tests: pack/unpack round-trips, kernel-vs-XLA
+equivalence (interpret mode), cache state machine, and end-to-end generation
+with the q8/q8q4 codecs (ops/quant_format.py, ops/kernels/quant_attention.py).
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mustafar_tpu.config import (CacheMode, EngineConfig, PruneConfig,
+                                 PruneMethod, TINY_LLAMA)
+from mustafar_tpu.cache.compressed import CompressedKVCache
+from mustafar_tpu.models.llama import init_params
+from mustafar_tpu.ops import quant_format as qf
+from mustafar_tpu.ops.kernels import quant_attention as qa
+from mustafar_tpu.runtime.generate import Generator
+
+MODEL128 = dataclasses.replace(TINY_LLAMA, name="tiny128", num_heads=2,
+                               num_kv_heads=1, head_dim=128, hidden_size=128)
+
+
+def _engine(sparsity, codec, max_seq=1024, **kw):
+    return EngineConfig(
+        model=MODEL128, cache_mode=CacheMode.COMPRESSED,
+        prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                          k_sparsity=sparsity, v_sparsity=sparsity),
+        max_seq_len=max_seq, prefill_bucket=256, chunk_size=256,
+        codec=codec, **kw)
+
+
+# ---------------------------------------------------------------------------
+# format round-trips
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_pack_unpack_codes_exact(bits):
+    rs = np.random.RandomState(0)
+    qmax = 2 ** (bits - 1) - 1
+    codes = jnp.asarray(rs.randint(-qmax, qmax + 1, (3, 256, 128)), jnp.int32)
+    rows = qf.pack_codes(codes, bits)
+    assert rows.shape == (3, 256 // (16 // bits), 128)
+    back = qf.unpack_rows(rows, bits)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(codes))
+
+
+@pytest.mark.parametrize("vbits", [8, 4])
+def test_encode_decode_chunk(vbits):
+    codec = qf.QuantCodec(256, 128, 8, vbits)
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(4, 256, 128) * 0.3, jnp.bfloat16)
+    rows, scales = qf.encode_chunk(x, codec, "v")
+    y = qf.decode_chunk(rows, scales, codec, "v")
+    xf = np.asarray(x, np.float32)
+    err = np.abs(np.asarray(y, np.float32) - xf).max()
+    # worst case: half a quantization step per channel, plus bf16 scale
+    # rounding (scales are stored bf16, ~2^-9 relative)
+    step = np.abs(xf).max(axis=1) / (2 ** (vbits - 1) - 1)
+    assert err <= step.max() * 0.5 + np.abs(xf).max() * 2 ** -8
+    # exact zeros (pruned positions) survive exactly
+    x0 = x.at[:, :, :5].set(0)
+    rows0, sc0 = qf.encode_chunk(x0, codec, "v")
+    y0 = qf.decode_chunk(rows0, sc0, codec, "v")
+    assert (np.asarray(y0, np.float32)[:, :, :5] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# kernels vs numpy reference (interpret mode on CPU)
+# ---------------------------------------------------------------------------
+
+def _mk_pool(rs, B, Hkv, mc, nact, codec):
+    BH = B * Hkv
+    C, D = codec.chunk, codec.dim
+    kd = rs.randn(BH, mc, C, D).astype(np.float32) * 0.3
+    vd = rs.randn(BH, mc, C, D).astype(np.float32) * 0.3
+    krows, ks = [], []
+    vrows, vs = [], []
+    kq = jnp.asarray(kd.reshape(BH * mc, C, D), jnp.bfloat16)
+    vq = jnp.asarray(vd.reshape(BH * mc, C, D), jnp.bfloat16)
+    kr, ksc = qf.encode_chunk(kq, codec, "k")
+    vr, vsc = qf.encode_chunk(vq, codec, "v")
+    kr = np.asarray(kr).reshape(BH, mc, codec.k_rows, 128)
+    vr = np.asarray(vr).reshape(BH, mc, codec.v_rows, 128)
+    pool = np.transpose(np.concatenate([kr, vr], axis=2), (1, 0, 2, 3))
+    ks = np.asarray(ksc, np.float32).reshape(BH, mc, D).transpose(1, 0, 2)
+    vs = np.asarray(vsc, np.float32).reshape(BH, mc, D).transpose(1, 0, 2)
+    # dequantized dense (the kernel's exact target)
+    kdeq = np.asarray(qf.decode_chunk(jnp.asarray(kr.reshape(BH * mc, -1, 128)),
+                                      ksc, codec, "k"),
+                      np.float32).reshape(BH, mc, C, D)
+    vdeq = np.asarray(qf.decode_chunk(jnp.asarray(vr.reshape(BH * mc, -1, 128)),
+                                      vsc, codec, "v"),
+                      np.float32).reshape(BH, mc, C, D)
+    return (jnp.asarray(pool), jnp.asarray(ks, jnp.bfloat16),
+            jnp.asarray(vs, jnp.bfloat16), kdeq, vdeq)
+
+
+def _ref_decode(qx, kdeq, vdeq, k_win, v_win, nact, wl, window=None,
+                pos_base=0):
+    B, _, Hq, D = qx.shape
+    Hkv = k_win.shape[2]
+    G = Hq // Hkv
+    BH = B * Hkv
+    C = kdeq.shape[2]
+    kall = np.concatenate(
+        [kdeq[:, :nact].reshape(BH, -1, D),
+         np.transpose(np.asarray(k_win, np.float32)[:, :wl],
+                      (0, 2, 1, 3)).reshape(BH, wl, D)], axis=1)
+    vall = np.concatenate(
+        [vdeq[:, :nact].reshape(BH, -1, D),
+         np.transpose(np.asarray(v_win, np.float32)[:, :wl],
+                      (0, 2, 1, 3)).reshape(BH, wl, D)], axis=1)
+    T = kall.shape[1]
+    qg = np.asarray(qx, np.float32)[:, 0].reshape(BH, G, D)
+    # scales folded in bf16 in-kernel; reference uses f32 — tolerance covers it
+    s = np.einsum("hgd,htd->hgt", qg, kall) / np.sqrt(D)
+    if window is not None:
+        pos = np.arange(T)
+        newest = nact * C + wl - 1
+        live = pos > (newest - window)
+        s = np.where(live[None, None, :], s, -1e30)
+    s = s - s.max(axis=-1, keepdims=True)
+    p = np.exp(s)
+    p /= p.sum(axis=-1, keepdims=True)
+    out = np.einsum("hgt,htd->hgd", p, vall)
+    return out.reshape(B, 1, Hq, D)
+
+
+@pytest.mark.parametrize("vbits,window", [(8, None), (4, None), (4, 700)])
+def test_q_decode_kernel_matches_reference(vbits, window):
+    codec = qf.QuantCodec(256, 128, 8, vbits)
+    B, Hkv, G, D, W = 2, 2, 2, 128, 288
+    mc, nact, wl = 4, 3, 120
+    rs = np.random.RandomState(2)
+    pool, ks, vs, kdeq, vdeq = _mk_pool(rs, B, Hkv, mc, nact, codec)
+    k_win = jnp.asarray(rs.randn(B, W, Hkv, D) * 0.1, jnp.bfloat16)
+    v_win = jnp.asarray(rs.randn(B, W, Hkv, D) * 0.1, jnp.bfloat16)
+    qx = jnp.asarray(rs.randn(B, 1, Hkv * G, D) * 0.1, jnp.bfloat16)
+    out = np.asarray(qa.fused_q_decode_attention(
+        qx, pool, ks, vs, k_win, v_win, jnp.int32(nact), jnp.int32(wl),
+        codec, mc, window=window), np.float32)
+    ref = _ref_decode(qx, kdeq, vdeq, k_win, v_win, nact, wl, window=window)
+    np.testing.assert_allclose(out, ref, atol=3e-2 * np.abs(ref).max())
+
+
+def test_q_decode_ps_kernel_matches_reference():
+    codec = qf.QuantCodec(256, 128, 8, 4)
+    B, Hkv, G, D, W = 2, 2, 2, 128, 288
+    mc = 4
+    rs = np.random.RandomState(3)
+    pool, ks, vs, kdeq, vdeq = _mk_pool(rs, B, Hkv, mc, mc, codec)
+    k_win = jnp.asarray(rs.randn(B, W, Hkv, D) * 0.1, jnp.bfloat16)
+    v_win = jnp.asarray(rs.randn(B, W, Hkv, D) * 0.1, jnp.bfloat16)
+    qx = jnp.asarray(rs.randn(B, 1, Hkv * G, D) * 0.1, jnp.bfloat16)
+    nc = jnp.asarray([3, 1], jnp.int32)
+    wl = jnp.asarray([120, 40], jnp.int32)
+    out = np.asarray(qa.fused_q_decode_attention_ps(
+        qx, pool, ks, vs, k_win, v_win, nc, wl, codec, mc), np.float32)
+    for b in range(B):
+        ref = _ref_decode(qx[b:b + 1], kdeq[b * Hkv:(b + 1) * Hkv],
+                          vdeq[b * Hkv:(b + 1) * Hkv], k_win[b:b + 1],
+                          v_win[b:b + 1], int(nc[b]), int(wl[b]))
+        np.testing.assert_allclose(out[b:b + 1], ref,
+                                   atol=3e-2 * np.abs(ref).max())
+
+
+def test_q_segment_kernel_matches_reference():
+    codec = qf.QuantCodec(256, 128, 8, 4)
+    B, Hkv, G, D = 2, 2, 2, 128
+    mc, nact, Tseg = 4, 3, 256
+    rs = np.random.RandomState(4)
+    pool, ks, vs, kdeq, vdeq = _mk_pool(rs, B, Hkv, mc, nact, codec)
+    qseg = jnp.asarray(rs.randn(B, Tseg, Hkv * G, D) * 0.1, jnp.bfloat16)
+    acc, m, l = qa.fused_q_segment_attention(
+        qseg, pool, ks, vs, jnp.int32(nact), jnp.int32(nact * 256), codec, mc)
+    out = np.asarray(acc, np.float32) / np.asarray(l, np.float32)
+    BH = B * Hkv
+    S = nact * 256
+    kall = kdeq[:, :nact].reshape(BH, S, D)
+    vall = vdeq[:, :nact].reshape(BH, S, D)
+    qg = np.asarray(qseg, np.float32).reshape(B, Tseg, Hkv, G, D)
+    qg = np.transpose(qg, (0, 2, 1, 3, 4)).reshape(BH, Tseg * G, D)
+    s = np.einsum("hqd,htd->hqt", qg, kall) / np.sqrt(D)
+    sm = s.max(axis=-1, keepdims=True)
+    p = np.exp(s - sm)
+    ref = np.einsum("hqt,htd->hqd", p / p.sum(-1, keepdims=True), vall)
+    ref = ref.reshape(B, Hkv, Tseg, G, D).transpose(0, 2, 1, 3, 4).reshape(
+        B, Tseg, Hkv * G, D)
+    np.testing.assert_allclose(out, ref, atol=3e-2 * np.abs(ref).max())
+
+
+# ---------------------------------------------------------------------------
+# cache integration
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("codec", ["q8", "q8q4"])
+def test_q_cache_xla_and_interpret_agree(codec):
+    """Pallas (interpret) and XLA-fallback decode agree on the same state."""
+    eng = _engine(0.7, codec)
+    impl_x = CompressedKVCache(eng, use_pallas=False)
+    impl_p = CompressedKVCache(eng, use_pallas=True)
+    B, Hkv, D = 1, MODEL128.num_kv_heads, MODEL128.head_dim
+    Hq = MODEL128.num_heads
+    rs = np.random.RandomState(5)
+    q = jnp.asarray(rs.randn(B, 512, Hq, D) * 0.3, jnp.float32)
+    k = jnp.asarray(rs.randn(B, 512, Hkv, D) * 0.3, jnp.float32)
+    v = jnp.asarray(rs.randn(B, 512, Hkv, D) * 0.3, jnp.float32)
+    cache = impl_x.init(B, jnp.bfloat16)
+    lc = {key: val[0] for key, val in cache.items()}
+    _, lc = impl_x.prefill_attend(lc, q, k, v, jnp.int32(500))
+    assert int(lc["n_chunks"][0]) == 1
+    assert (np.asarray(lc["kv_scales"])[0] != 0).any()
+    qd = jnp.asarray(rs.randn(B, 1, Hq, D) * 0.3, jnp.float32)
+    kd = jnp.asarray(rs.randn(B, 1, Hkv, D) * 0.3, jnp.float32)
+    vd = jnp.asarray(rs.randn(B, 1, Hkv, D) * 0.3, jnp.float32)
+    out_x, _ = impl_x.decode_attend(dict(lc), qd, kd, vd, jnp.int32(500))
+    out_p, _ = impl_p.decode_attend(dict(lc), qd, kd, vd, jnp.int32(500))
+    np.testing.assert_allclose(np.asarray(out_x, np.float32),
+                               np.asarray(out_p, np.float32),
+                               atol=2e-2 * np.abs(np.asarray(out_x)).max())
+
+
+def test_q_decode_step_tracks_bitmap():
+    """Same pruned state, different codecs: one decode step's output must be
+    within quantization noise of the bitmap codec (token trajectories diverge
+    chaotically on random weights, so compare a step, not generations)."""
+    B, Hkv, D = 1, MODEL128.num_kv_heads, MODEL128.head_dim
+    Hq = MODEL128.num_heads
+    rs = np.random.RandomState(7)
+    q = jnp.asarray(rs.randn(B, 512, Hq, D) * 0.3, jnp.float32)
+    k = jnp.asarray(rs.randn(B, 512, Hkv, D) * 0.3, jnp.float32)
+    v = jnp.asarray(rs.randn(B, 512, Hkv, D) * 0.3, jnp.float32)
+    qd = jnp.asarray(rs.randn(B, 1, Hq, D) * 0.3, jnp.float32)
+    zero = jnp.zeros((B, 1, Hkv, D), jnp.float32)
+    outs = {}
+    for codec in ["bitmap", "q8", "q8q4"]:
+        impl = CompressedKVCache(_engine(0.5, codec), use_pallas=False)
+        lc = {key: val[0] for key, val in impl.init(B, jnp.bfloat16).items()}
+        _, lc = impl.prefill_attend(lc, q, k, v, jnp.int32(500))
+        out, _ = impl.decode_attend(dict(lc), qd, zero, zero, jnp.int32(500))
+        outs[codec] = np.asarray(out, np.float32)
+    ref = np.abs(outs["bitmap"]).max()
+    assert np.abs(outs["q8"] - outs["bitmap"]).max() < 0.02 * ref
+    assert np.abs(outs["q8q4"] - outs["bitmap"]).max() < 0.15 * ref
+
+
+def test_q_generation_runs():
+    """q8q4 generation end-to-end (prefill, decode, compaction past r+C)."""
+    params = init_params(MODEL128, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    prompt = np.random.RandomState(0).randint(0, 512, size=(2, 300))
+    toks = Generator(_engine(0.5, "q8q4"), params,
+                     dtype=jnp.bfloat16).generate(prompt, 40)
+    assert np.asarray(toks).shape == (2, 40)
+
+
+def test_q_chunked_prefill_runs():
+    eng = _engine(0.7, "q8q4", chunked_prefill=True, max_seq=1024)
+    params = init_params(MODEL128, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    prompt = np.random.RandomState(1).randint(0, 512, size=(1, 700))
+    toks = Generator(eng, params, dtype=jnp.bfloat16).generate(prompt, 20)
+    assert np.asarray(toks).shape == (1, 20)
