@@ -69,11 +69,15 @@ def main(batch=None, prompt_len=None, gen_tokens=None):
     params = jax.block_until_ready(params)
     prompt = np.random.RandomState(0).randint(1, cfg.vocab_size, (B, prompt_len))
 
+    # q8q4 codec: pruned chunks stored dense-zeroed int8-K/int4-V — same
+    # 2.67x compression as the bitmap codec, but expansion is pure widen
+    # arithmetic so decode beats dense per call (docs/PERFORMANCE.md round-2
+    # section; bitmap codec measured separately at 987.6 tok/s = 1.05x)
     sparse_eng = EngineConfig(
         model=cfg, cache_mode=CacheMode.COMPRESSED,
         prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
                           k_sparsity=0.7, v_sparsity=0.7),
-        max_seq_len=max_seq, prefill_bucket=256, chunk_size=256)
+        max_seq_len=max_seq, prefill_bucket=256, chunk_size=256, codec="q8q4")
     dense_eng = EngineConfig(model=cfg, cache_mode=CacheMode.DENSE,
                              max_seq_len=max_seq, prefill_bucket=256)
 
@@ -90,7 +94,7 @@ def main(batch=None, prompt_len=None, gen_tokens=None):
         "detail": {
             "model": f"llama3-8b-geometry x{layers}L",
             "batch": B, "prompt": prompt_len, "gen": gen_tokens,
-            "k_sparsity": 0.7, "v_sparsity": 0.7,
+            "k_sparsity": 0.7, "v_sparsity": 0.7, "codec": "q8q4",
             "dense_tok_s": round(dense_tps, 1),
             "sparse_s_per_gen": round(sparse_dt, 3),
             "dense_s_per_gen": round(dense_dt, 3),

@@ -37,6 +37,11 @@ def _add_engine_args(p: argparse.ArgumentParser):
                    help="stream the prompt chunk-by-chunk through the "
                         "compressed cache (O(chunk) activation memory; "
                         "prefill attends to the pruned past)")
+    p.add_argument("--codec", default="bitmap",
+                   choices=["bitmap", "q8", "q8q4"],
+                   help="compressed-chunk codec: bitmap-packed sparse "
+                        "(capacity-optimal) or quantized-dense "
+                        "(latency-optimal; q8q4 matches bitmap compression)")
 
 
 def _build_engine(args, model_cfg):
@@ -56,7 +61,8 @@ def _build_engine(args, model_cfg):
                         residual_length=args.residual_length)
     return EngineConfig(model=model_cfg, prune=prune, cache_mode=cache_mode,
                         max_seq_len=args.max_seq_len,
-                        chunked_prefill=getattr(args, "chunked_prefill", False))
+                        chunked_prefill=getattr(args, "chunked_prefill", False),
+                        codec=getattr(args, "codec", "bitmap"))
 
 
 def cmd_predict(args):

@@ -264,15 +264,19 @@ def load_ckpt(out_dir: str, dtype=jnp.float32):
 
 def _engine(cfg: ModelConfig, mode: str, sparsity: float,
             max_seq_len: int) -> EngineConfig:
+    """mode: dense | masked | compressed | compressed-q8 | compressed-q8q4."""
     if mode == "dense":
         return EngineConfig(model=cfg, cache_mode=CacheMode.DENSE,
                             max_seq_len=max_seq_len)
+    codec = "bitmap"
+    if mode.startswith("compressed-"):
+        mode, codec = mode.split("-", 1)
     cache = CacheMode.MASKED if mode == "masked" else CacheMode.COMPRESSED
     return EngineConfig(
         model=cfg, cache_mode=cache,
         prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
                           k_sparsity=sparsity, v_sparsity=sparsity),
-        max_seq_len=max_seq_len)
+        max_seq_len=max_seq_len, codec=codec)
 
 
 def score_nll(engine: EngineConfig, params, tokens: np.ndarray,

@@ -78,10 +78,15 @@ def test_compressed_cache_specs_cover_state():
     assert shc["kv_pool"].sharding.spec[3] == "model"
 
 
-def test_compressed_kernel_under_mesh_matches_single_device():
+import pytest
+
+
+@pytest.mark.parametrize("codec", ["bitmap", "q8q4"])
+def test_compressed_kernel_under_mesh_matches_single_device(codec):
     """The production compressed path (kv_pool + fused Pallas kernel, interpret
     mode on CPU) executed head-local under a dp x tp mesh via shard_map must
-    reproduce single-device logits, across prefill chunk packing and decode."""
+    reproduce single-device logits, across prefill chunk packing and decode
+    (both chunk codecs; the quant codec also shards its scales state)."""
     import dataclasses
     cfg = dataclasses.replace(CFG, name="shard-comp", head_dim=128,
                               num_heads=4, num_kv_heads=2, hidden_size=512,
@@ -89,7 +94,8 @@ def test_compressed_kernel_under_mesh_matches_single_device():
     eng = EngineConfig(model=cfg, cache_mode=CacheMode.COMPRESSED,
                        prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
                                          k_sparsity=0.5, v_sparsity=0.5),
-                       max_seq_len=1056, prefill_bucket=512, chunk_size=256)
+                       max_seq_len=1056, prefill_bucket=512, chunk_size=256,
+                       codec=codec)
     from mustafar_tpu.cache.compressed import CompressedKVCache
     params = init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
     B = 4
