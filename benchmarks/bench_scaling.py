@@ -2,15 +2,23 @@
 
 On real multi-chip hardware this reports tokens/s at 1 chip / 1 host / N
 hosts (BASELINE.md target: >=85% scaling efficiency on 2 hosts).  Without
-multi-chip hardware it runs the same sharded program on the virtual CPU mesh
+multi-chip hardware it runs the same sharded programs on the virtual CPU mesh
 (XLA_FLAGS=--xla_force_host_platform_device_count=8) to validate the
-program scales structurally; wall-times on virtual devices are not
+programs scale structurally; wall-times on virtual devices are not
 throughput claims.
+
+Two programs are swept over mesh shapes:
+  * masked  — prune-in-place cache, the accuracy path;
+  * q8q4    — the PRODUCTION path: compressed pools + quantized-dense codec
+              + fused Pallas decode kernel (interpret mode off-TPU), incl.
+              prefill chunk packing, so the full serving program is what
+              scales, not a stand-in (round-1 verdict gap).
 
 Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
          python benchmarks/bench_scaling.py
 """
 
+import json
 import os
 import time
 
@@ -24,24 +32,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
-def main():
-    from mustafar_tpu.config import (CacheMode, EngineConfig, ModelConfig,
-                                     PruneConfig, PruneMethod)
-    from mustafar_tpu.cache import make_cache
-    from mustafar_tpu.models import llama
-    from mustafar_tpu.models.llama import init_params
-    from mustafar_tpu.parallel import sharding as sh
-
-    ndev = len(jax.devices())
-    cfg = ModelConfig(name="scale-test", vocab_size=1024, hidden_size=512,
-                      intermediate_size=1024, num_layers=4, num_heads=8,
-                      num_kv_heads=8, head_dim=64, max_position_embeddings=2048)
-    eng = EngineConfig(model=cfg, cache_mode=CacheMode.MASKED,
-                       prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
-                                         k_sparsity=0.7, v_sparsity=0.7),
-                       max_seq_len=512)
-    impl = make_cache(eng)
-
+def _mesh_shapes(ndev):
     shapes = [(1, 1)]
     if ndev >= 2:
         shapes += [(2, 1), (1, 2)]
@@ -49,37 +40,102 @@ def main():
         shapes += [(2, 2), (4, 1)]
     if ndev >= 8:
         shapes += [(4, 2), (8, 1)]
+    return shapes
 
-    results = {}
-    for dp, tp in shapes:
+
+def _sweep(tag, cfg, eng, make_impl, prefill_len, results, iters=20):
+    from mustafar_tpu.models import llama
+    from mustafar_tpu.models.llama import init_params
+    from mustafar_tpu.parallel import sharding as sh
+
+    ndev = len(jax.devices())
+    for dp, tp in _mesh_shapes(ndev):
+        if cfg.num_kv_heads % tp:
+            continue
         mesh = sh.make_mesh(dp, tp)
+        impl = make_impl()
+        if hasattr(impl, "mesh"):
+            impl.mesh = mesh
         B = 4 * dp
         params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
-        params = sh.shard_pytree(params, sh.filter_specs_for(params, sh.param_specs(cfg)), mesh)
+        params = sh.shard_pytree(
+            params, sh.filter_specs_for(params, sh.param_specs(cfg)), mesh)
         cache = impl.init(B, jnp.float32)
         cache = sh.shard_pytree(cache, sh.cache_specs(eng, cache), mesh)
-        tok = jax.device_put(jnp.zeros((B, 1), jnp.int32),
-                             NamedSharding(mesh, P("data", None)))
+        toks = jax.device_put(
+            jnp.asarray(np.random.RandomState(0).randint(
+                0, cfg.vocab_size, (B, prefill_len)), jnp.int32),
+            NamedSharding(mesh, P("data", None)))
+
+        @jax.jit
+        def pre(params, toks, cache):
+            logits, cache = llama.prefill(cfg, params, toks, cache, impl,
+                                          jnp.int32(prefill_len),
+                                          last_only=True)
+            tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+            return tok, cache
 
         @jax.jit
         def step(params, tok, cache, pos):
-            logits, cache = llama.decode_step(cfg, params, tok, cache, impl, pos)
+            logits, cache = llama.decode_step(cfg, params, tok, cache, impl,
+                                              pos)
             return jnp.argmax(logits[:, 0], -1).astype(jnp.int32)[:, None], cache
 
-        t, cache = step(params, tok, cache, jnp.int32(64))
+        t, cache = pre(params, toks, cache)
+        t, cache = step(params, t, cache, jnp.int32(prefill_len))
         jax.block_until_ready(t)
         t0 = time.perf_counter()
-        iters = 20
         for i in range(iters):
-            t, cache = step(params, t, cache, jnp.int32(65 + i))
+            t, cache = step(params, t, cache, jnp.int32(prefill_len + 1 + i))
         jax.block_until_ready(t)
         dt = (time.perf_counter() - t0) / iters
         tps = B / dt
-        results[(dp, tp)] = tps
-        base = results[(1, 1)]
-        print(f"dp={dp} tp={tp} devices={dp*tp}: {tps:9.1f} tok/s "
-              f"({tps/base/(dp*tp)*100:5.1f}% per-device efficiency vs 1x1)")
+        results[(tag, dp, tp)] = tps
+        base = results[(tag, 1, 1)]
+        print(f"[{tag}] dp={dp} tp={tp} devices={dp*tp}: {tps:9.1f} tok/s "
+              f"({tps/base/(dp*tp)*100:5.1f}% per-device efficiency vs 1x1)",
+              flush=True)
+
+
+def main(out_json=None):
+    from mustafar_tpu.config import (CacheMode, EngineConfig, ModelConfig,
+                                     PruneConfig, PruneMethod)
+    from mustafar_tpu.cache import make_cache
+    from mustafar_tpu.cache.compressed import CompressedKVCache
+
+    results = {}
+
+    # masked accuracy path (round-1 program, kept for continuity)
+    cfg_m = ModelConfig(name="scale-masked", vocab_size=1024, hidden_size=512,
+                        intermediate_size=1024, num_layers=4, num_heads=8,
+                        num_kv_heads=8, head_dim=64,
+                        max_position_embeddings=2048)
+    eng_m = EngineConfig(model=cfg_m, cache_mode=CacheMode.MASKED,
+                         prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                                           k_sparsity=0.7, v_sparsity=0.7),
+                         max_seq_len=512)
+    _sweep("masked", cfg_m, eng_m, lambda: make_cache(eng_m), 64, results)
+
+    # production path: compressed pools + q8q4 codec + fused kernel
+    cfg_c = ModelConfig(name="scale-q8q4", vocab_size=1024, hidden_size=512,
+                        intermediate_size=1024, num_layers=2, num_heads=8,
+                        num_kv_heads=4, head_dim=128,
+                        max_position_embeddings=2048)
+    eng_c = EngineConfig(model=cfg_c, cache_mode=CacheMode.COMPRESSED,
+                         prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                                           k_sparsity=0.7, v_sparsity=0.7),
+                         max_seq_len=1056, prefill_bucket=512, chunk_size=256,
+                         codec="q8q4")
+    _sweep("q8q4", cfg_c, eng_c,
+           lambda: CompressedKVCache(eng_c, use_pallas=True), 400, results,
+           iters=10)
+
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump({f"{t}:dp{dp}xtp{tp}": v
+                       for (t, dp, tp), v in results.items()}, f, indent=2)
+    return results
 
 
 if __name__ == "__main__":
-    main()
+    main(out_json=os.environ.get("SCALING_OUT"))

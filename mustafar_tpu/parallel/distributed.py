@@ -34,9 +34,14 @@ def initialize(coordinator: str, num_processes: int, process_id: int):
                                process_id=process_id)
 
 
-def _step_program():
+def _step_program(program: str = "masked"):
     """The tiny sharded prefill+decode program shared by the multi-process
-    driver and the single-process reference (tests compare the two)."""
+    driver and the single-process reference (tests compare the two).
+
+    program = "masked" (prune-in-place accuracy path) or "q8q4" (the
+    PRODUCTION serving path: compressed pools + quantized-dense codec +
+    fused decode kernel, interpret mode off-TPU) — the latter is what a
+    real >=2-host deployment runs, so parity is asserted on it too."""
     import jax
     import jax.numpy as jnp
 
@@ -46,34 +51,52 @@ def _step_program():
     from mustafar_tpu.models import llama
     from mustafar_tpu.models.llama import init_params
 
-    cfg = ModelConfig(name="dist-step", vocab_size=256, hidden_size=128,
-                      intermediate_size=256, num_layers=2, num_heads=4,
-                      num_kv_heads=2, head_dim=32, max_position_embeddings=512)
-    eng = EngineConfig(model=cfg, cache_mode=CacheMode.MASKED,
-                       prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
-                                         k_sparsity=0.5, v_sparsity=0.5),
-                       max_seq_len=256)
-    impl = make_cache(eng)
+    if program == "masked":
+        cfg = ModelConfig(name="dist-step", vocab_size=256, hidden_size=128,
+                          intermediate_size=256, num_layers=2, num_heads=4,
+                          num_kv_heads=2, head_dim=32,
+                          max_position_embeddings=512)
+        eng = EngineConfig(model=cfg, cache_mode=CacheMode.MASKED,
+                           prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                                             k_sparsity=0.5, v_sparsity=0.5),
+                           max_seq_len=256)
+        impl = make_cache(eng)
+        P_len = 64
+    else:
+        assert program == "q8q4", program
+        from mustafar_tpu.cache.compressed import CompressedKVCache
+        cfg = ModelConfig(name="dist-q8q4", vocab_size=256, hidden_size=256,
+                          intermediate_size=512, num_layers=2, num_heads=4,
+                          num_kv_heads=2, head_dim=128,
+                          max_position_embeddings=2048)
+        eng = EngineConfig(model=cfg, cache_mode=CacheMode.COMPRESSED,
+                           prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                                             k_sparsity=0.5, v_sparsity=0.5),
+                           max_seq_len=1056, prefill_bucket=512,
+                           chunk_size=256, codec="q8q4")
+        impl = CompressedKVCache(eng, use_pallas=True)
+        P_len = 400           # packs one compressed chunk during prefill
     B = 8
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
-    tokens = np.random.RandomState(0).randint(0, 256, (B, 64)).astype(np.int32)
+    tokens = np.random.RandomState(0).randint(
+        0, 256, (B, P_len)).astype(np.int32)
     cache = impl.init(B, jnp.float32)
 
     def fn(params, tokens, cache):
         logits, cache = llama.prefill(cfg, params, tokens, cache, impl,
-                                      jnp.int32(64))
-        tok = jnp.argmax(logits[:, 63], axis=-1).astype(jnp.int32)[:, None]
+                                      jnp.int32(P_len))
+        tok = jnp.argmax(logits[:, P_len - 1], -1).astype(jnp.int32)[:, None]
         logits2, cache = llama.decode_step(cfg, params, tok, cache, impl,
-                                           jnp.int32(64))
+                                           jnp.int32(P_len))
         # replicated scalars: identical on every process iff the sharded
         # computation is correct end to end
-        return (jnp.sum(jnp.abs(logits[:, 63])), jnp.sum(jnp.abs(logits2)),
-                tok[:, 0])
+        return (jnp.sum(jnp.abs(logits[:, P_len - 1])),
+                jnp.sum(jnp.abs(logits2)), tok[:, 0])
 
     return cfg, eng, impl, params, tokens, cache, fn
 
 
-def run_sharded_step(dp: int, tp: int):
+def run_sharded_step(dp: int, tp: int, program: str = "masked"):
     """Run the sharded step on the GLOBAL mesh (works single- or
     multi-process).  Returns (checksum_prefill, checksum_decode, tokens)."""
     import jax
@@ -82,8 +105,10 @@ def run_sharded_step(dp: int, tp: int):
 
     from mustafar_tpu.parallel import sharding as sh
 
-    cfg, eng, impl, params, tokens_np, cache, fn = _step_program()
+    cfg, eng, impl, params, tokens_np, cache, fn = _step_program(program)
     mesh = sh.make_mesh(dp, tp)
+    if hasattr(impl, "mesh"):
+        impl.mesh = mesh
 
     def put(np_arr, spec):
         s = NamedSharding(mesh, spec)
@@ -113,6 +138,8 @@ def main(argv=None):
     ap.add_argument("--process-id", type=int, required=True)
     ap.add_argument("--dp", type=int, default=4)
     ap.add_argument("--tp", type=int, default=2)
+    ap.add_argument("--program", default="masked",
+                    choices=["masked", "q8q4"])
     ap.add_argument("--out", required=True)
     args = ap.parse_args(argv)
 
@@ -121,7 +148,7 @@ def main(argv=None):
     initialize(args.coordinator, args.num_processes, args.process_id)
     assert jax.process_count() == args.num_processes
 
-    s1, s2, tok = run_sharded_step(args.dp, args.tp)
+    s1, s2, tok = run_sharded_step(args.dp, args.tp, args.program)
     with open(args.out, "w") as f:
         json.dump({"process": args.process_id,
                    "n_processes": jax.process_count(),

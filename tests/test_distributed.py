@@ -28,7 +28,8 @@ def _free_port():
     return port
 
 
-def test_two_process_sharded_step_parity(tmp_path):
+@pytest.mark.parametrize("program", ["masked", "q8q4"])
+def test_two_process_sharded_step_parity(tmp_path, program):
     port = _free_port()
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
@@ -41,6 +42,7 @@ def test_two_process_sharded_step_parity(tmp_path):
             [sys.executable, "-m", "mustafar_tpu.parallel.distributed",
              "--coordinator", f"localhost:{port}",
              "--num-processes", "2", "--process-id", str(i),
+             "--program", program,
              "--out", str(outs[i])],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             cwd="/root/repo"))
@@ -60,7 +62,7 @@ def test_two_process_sharded_step_parity(tmp_path):
     # and match the single-process 8-device run of the same program
     from mustafar_tpu.parallel.distributed import run_sharded_step
     assert len(jax.devices()) >= 8
-    s1, s2, tok = run_sharded_step(dp=4, tp=2)
+    s1, s2, tok = run_sharded_step(dp=4, tp=2, program=program)
     np.testing.assert_allclose(r0["prefill_sum"], s1, rtol=2e-4)
     np.testing.assert_allclose(r0["decode_sum"], s2, rtol=2e-4)
     assert r0["tokens"] == tok.tolist()
