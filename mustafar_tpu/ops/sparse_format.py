@@ -43,17 +43,23 @@ import jax
 import jax.numpy as jnp
 
 
-def decompose_keep(keep: int) -> tuple[int, ...]:
-    """Smallest sum of at most two powers of two that is >= keep.
+def decompose_keep(keep: int, sum_multiple: int = 1) -> tuple[int, ...]:
+    """Smallest sum of at most two powers of two that is >= keep (and a
+    multiple of ``sum_multiple``).
 
     The value layout needs segment widths k with 128 % k == 0; two segments
-    cover every reference sparsity (0.5 -> 65 = 64+1, 0.7 -> 40 = 32+8)
-    exactly, and anything else with <= 17% slack.
+    cover the reference sparsities with little slack (0.7 -> 40 = 32+8
+    exactly; 0.5 -> 65 stored as 68 = 64+4 under the TPU row-alignment
+    constraint below).  ``sum_multiple`` lets ChunkFormat force the total
+    stored count to land on an 8-row VMEM boundary: Mosaic requires row
+    slices (e.g. the V-stream offset inside the fused K++V chunk buffer) to
+    be 8-aligned, which interpret-mode runs never check.
     """
     assert 1 <= keep <= 128, keep
     pows = [1, 2, 4, 8, 16, 32, 64, 128]
     candidates = [(a,) for a in pows if a >= keep] + \
         [(a, b) for a in pows for b in pows if b <= a and keep <= a + b <= 128]
+    candidates = [c for c in candidates if sum(c) % sum_multiple == 0]
     # fewest stored slots; a single segment (one gather) breaks ties
     return min(candidates, key=lambda c: (sum(c), len(c)))
 
@@ -73,7 +79,12 @@ class ChunkFormat:
 
     @property
     def segs(self) -> tuple[int, ...]:
-        return decompose_keep(self.keep)
+        # stream_rows = (chunk/128)*sum(segs) + chunk/16 must be 8-aligned
+        # (TPU VMEM sublane tiling); chunk%128==0 makes the bitmap part 8-
+        # aligned already, so constrain sum(segs) to 8/gcd(chunk/128, 8).
+        import math
+        rpt = self.chunk // 128
+        return decompose_keep(self.keep, 8 // math.gcd(rpt, 8))
 
     @property
     def keep_stored(self) -> int:

@@ -117,8 +117,15 @@ class ContinuousBatchingEngine:
 
             def prefill_one(params, toks, true_len, cache, slot_idx):
                 sub = impl.init(1, self.dtype)
-                logits, sub = llama.prefill(self.cfg, params, toks, sub,
-                                            impl, true_len, last_only=True)
+                if self.engine.chunked_prefill:
+                    # segment-streamed prefill: O(chunk) activation memory,
+                    # so long prompts don't spike HBM while other slots hold
+                    # live KV state (the 32k-context serving path)
+                    logits, sub = llama.prefill_chunked(
+                        self.cfg, params, toks, sub, impl, true_len)
+                else:
+                    logits, sub = llama.prefill(self.cfg, params, toks, sub,
+                                                impl, true_len, last_only=True)
                 nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)  # [1]
                 cache = impl.insert_slot(cache, sub, slot_idx)
                 return nxt[0], cache

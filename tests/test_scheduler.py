@@ -211,3 +211,36 @@ def test_vc_channel_policies_continuous_batching():
         outs = cb.run()
         np.testing.assert_array_equal(outs[u1], want1, err_msg=str(mode))
         np.testing.assert_array_equal(outs[u2], want2, err_msg=str(mode))
+
+
+def test_chunked_prefill_continuous_batching():
+    """chunked_prefill=True in the scheduler: each request's prompt is
+    segment-streamed into its slot (O(chunk) activation memory — the
+    long-prompt serving path).  At sparsity 0 the pruned past equals the
+    dense past, so outputs must match the monolithic-prefill scheduler."""
+    import dataclasses
+    from mustafar_tpu.config import TINY_LLAMA
+    model = dataclasses.replace(TINY_LLAMA, name="tiny128cp", num_heads=2,
+                                num_kv_heads=1, head_dim=128, hidden_size=128)
+    eng = EngineConfig(model=model, cache_mode=CacheMode.COMPRESSED,
+                       prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                                         k_sparsity=0.0, v_sparsity=0.0),
+                       max_seq_len=2048, prefill_bucket=256, chunk_size=256,
+                       batch_size=2)
+    params = init_params(model, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    rs = np.random.RandomState(5)
+    p1 = rs.randint(0, 512, size=700)    # 3 segments, final partial
+    p2 = rs.randint(0, 512, size=300)    # 2 segments
+
+    cb = ContinuousBatchingEngine(eng, params, dtype=jnp.bfloat16)
+    u1, u2 = cb.submit(p1, 6), cb.submit(p2, 6)
+    want = cb.run()
+
+    engc = dataclasses.replace(eng, chunked_prefill=True)
+    cbc = ContinuousBatchingEngine(engc, params, dtype=jnp.bfloat16)
+    v1, v2 = cbc.submit(p1, 6), cbc.submit(p2, 6)
+    got = cbc.run()
+    # bf16 accumulation-order noise can flip a near-tie argmax late in the
+    # rollout; require the first 4 tokens of every sequence to match.
+    np.testing.assert_array_equal(got[v1][:4], want[u1][:4])
+    np.testing.assert_array_equal(got[v2][:4], want[u2][:4])

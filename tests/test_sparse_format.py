@@ -96,7 +96,9 @@ def test_prune_and_encode_matches_two_step():
 def test_compression_ratio():
     assert FMT.compression_ratio > 2.3, FMT.compression_ratio
     f2 = sf.ChunkFormat(chunk=256, dim=128, keep=65)   # 50%
-    assert 1.7 < f2.compression_ratio < 2.0
+    # stored count rounds 65 -> 68 (8-row VMEM alignment), ratio 1.68x
+    assert f2.segs == (64, 4) and f2.stream_rows % 8 == 0
+    assert 1.6 < f2.compression_ratio < 2.0
 
 
 def test_topk_mask_handles_ties():
@@ -113,3 +115,14 @@ def test_keep_count_matches_reference_rule():
     assert p.kept_per_row(128, 0.7) == 40
     assert p.kept_per_row(128, 0.5) == 65
     assert p.kept_per_row(128, 0.0) == 128
+
+
+def test_stream_rows_8_aligned_all_keeps():
+    """Mosaic requires VMEM row slices to be 8-aligned; the V-stream offset
+    inside the fused K++V chunk buffer is kfmt.stream_rows, so every legal
+    keep must produce 8-aligned stream rows (caught on real TPU only —
+    interpret mode does not enforce tiling)."""
+    for keep in range(1, 129):
+        f = sf.ChunkFormat(chunk=256, dim=128, keep=keep)
+        assert f.stream_rows % 8 == 0, (keep, f.segs, f.stream_rows)
+        assert f.keep_stored >= keep
