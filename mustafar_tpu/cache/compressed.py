@@ -88,6 +88,12 @@ class CompressedKVCache:
         # — lets the model's layer scan skip re-stacking them every token
         self.decode_invariant_keys = (("kv_pool",) if self.qcodec is None
                                       else ("kv_pool", "kv_scales"))
+        # chunked-prefill segments write at most ONE chunk slot per layer —
+        # keeping the pool out of the layer scan (staged rows + a single
+        # post-scan update in finalize_segment) stops XLA from materializing
+        # a second full pool as the scan's stacked output (measured 5.58 GiB
+        # extra at 32k ctx, the difference between OOM and serving)
+        self.segment_invariant_keys = self.decode_invariant_keys
 
     # -- state ------------------------------------------------------------
     def init(self, batch: int, dtype=jnp.bfloat16) -> dict:
@@ -337,24 +343,14 @@ class CompressedKVCache:
         do_pack = nc_after > nc
 
         lc = dict(lc)
-        # predicated pack of the current window's C tokens into pool slot nc
+        # stage the pack of the current window's C tokens; finalize_segment
+        # applies it to pool slot nc AFTER the layer scan (one fused update
+        # across layers, pool stays scan-invariant — see __init__ note)
         new6, scales6 = self._pack_rows_scales(lc["k_win"][:, :C],
                                                lc["v_win"][:, :C])
-        slot = jnp.clip(nc, 0, self.max_chunks - 1)
-        cur = jax.lax.dynamic_slice(
-            lc["kv_pool"], (slot, 0, 0, 0, 0), (1, *lc["kv_pool"].shape[1:]))
-        lc["kv_pool"] = jax.lax.dynamic_update_slice(
-            lc["kv_pool"],
-            jnp.where(do_pack, new6[None].astype(cur.dtype), cur),
-            (slot, 0, 0, 0, 0))
+        lc["_seg_rows"] = new6.astype(lc["kv_pool"].dtype)
         if scales6 is not None:
-            cur_s = jax.lax.dynamic_slice(
-                lc["kv_scales"], (slot, 0, 0, 0, 0),
-                (1, *lc["kv_scales"].shape[1:]))
-            lc["kv_scales"] = jax.lax.dynamic_update_slice(
-                lc["kv_scales"],
-                jnp.where(do_pack, scales6[None].astype(cur_s.dtype), cur_s),
-                (slot, 0, 0, 0, 0))
+            lc["_seg_scales"] = scales6.astype(lc["kv_scales"].dtype)
 
         # rebuild the window from [old window ++ segment] shifted by the pack
         seg_rows = (jnp.arange(C) < seg_valid)[None, :, None, None]
@@ -372,6 +368,34 @@ class CompressedKVCache:
                 (B, self.wcap, Hkv, D))
         lc["n_chunks"] = jnp.full((B,), nc_after, jnp.int32)
         return out, lc
+
+    def finalize_segment(self, old_cache: dict, new_cache: dict) -> dict:
+        """Apply a segment's staged chunk pack to the stacked [L, ...] cache.
+
+        Called by the model forward after the layer scan (chunked prefill
+        advances every layer in lockstep, so the pack predicate and target
+        slot are layer-uniform).  One dynamic_update_slice over all layers;
+        with a donated cache XLA performs it in place.
+        """
+        new_cache = dict(new_cache)
+        rows = new_cache.pop("_seg_rows")            # [L, B, Hkv, ROWS, 128]
+        scales = new_cache.pop("_seg_scales", None)  # [L, B, Hkv, 2, D]
+        nc_old = old_cache["n_chunks"][0, 0]
+        do_pack = new_cache["n_chunks"][0, 0] > nc_old
+        slot = jnp.clip(nc_old, 0, self.max_chunks - 1)
+
+        def put(pool, upd):                          # pool [L, mc, ...]
+            cur = jax.lax.dynamic_slice(
+                pool, (0, slot) + (0,) * (pool.ndim - 2),
+                (pool.shape[0], 1, *pool.shape[2:]))
+            return jax.lax.dynamic_update_slice(
+                pool, jnp.where(do_pack, upd[:, None].astype(pool.dtype), cur),
+                (0, slot) + (0,) * (pool.ndim - 2))
+
+        new_cache["kv_pool"] = put(old_cache["kv_pool"], rows)
+        if scales is not None:
+            new_cache["kv_scales"] = put(old_cache["kv_scales"], scales)
+        return new_cache
 
     def _segment_pool_partials_xla(self, lc, q, nc, seg_start):
         """XLA fallback for segment-over-pools partials (CPU path)."""
@@ -513,42 +537,81 @@ class CompressedKVCache:
         lc["n_chunks"] = lc["n_chunks"] + 1
         return lc
 
-    def compact(self, cache: dict) -> dict:
-        """compact_layer over the stacked [L, ...] cache (uniform batch)."""
-        return jax.lax.scan(
-            lambda _, lc: (0, self.compact_layer(lc)), 0, cache)[1]
+    def _compact_scan(self, cache: dict, sel, do_i32):
+        """Shared compaction machinery: layer-scan over the NON-pool state
+        (window shift + chunk pack, both predicated by ``sel``), returning
+        (rest-of-state, staged rows [L,B,Hkv,ROWS,128], staged scales|None).
 
-    def compact_slots(self, cache: dict, do) -> dict:
-        """Per-slot compaction of the stacked cache for slots where do[b]."""
-        Hkv = self.model.num_kv_heads
-        C, mc = self.C, self.max_chunks
-        do = jnp.asarray(do)
+        The pool stays out of the scan — a scan that threads it restacks the
+        full multi-GiB buffer as its output (the 32k OOM); callers apply the
+        staged pack with one in-place update instead."""
+        C = self.C
+        rest = {k: v for k, v in cache.items()
+                if k not in self.segment_invariant_keys}
 
         def one(_, lc):
-            B = lc["k_win"].shape[0]
-            nc = lc["n_chunks"]
             new6, scales6 = self._pack_rows_scales(lc["k_win"][:, :C],
                                                    lc["v_win"][:, :C])
-            b_i = jnp.arange(B)
-            ci = jnp.clip(nc, 0, mc - 1)                       # [B]
-            existing = lc["kv_pool"][ci, b_i]                  # [B,Hkv,ROWS,128]
-            sel = do[:, None, None, None]
-            lc = dict(lc)
-            lc["kv_pool"] = lc["kv_pool"].at[ci, b_i].set(
-                jnp.where(sel, new6.astype(lc["kv_pool"].dtype), existing))
+            out = {"n_chunks": lc["n_chunks"] + do_i32, "_rows": new6}
             if scales6 is not None:
-                exist_s = lc["kv_scales"][ci, b_i]             # [B,Hkv,2,D]
-                lc["kv_scales"] = lc["kv_scales"].at[ci, b_i].set(
-                    jnp.where(sel, scales6.astype(lc["kv_scales"].dtype),
-                              exist_s))
+                out["_scales"] = scales6
             for key in ("k_win", "v_win"):
                 shifted = jnp.concatenate(
                     [lc[key][:, C:], jnp.zeros_like(lc[key][:, :C])], axis=1)
-                lc[key] = jnp.where(do[:, None, None, None], shifted, lc[key])
-            lc["n_chunks"] = nc + do.astype(jnp.int32)
-            return 0, lc
+                out[key] = jnp.where(sel, shifted, lc[key])
+            return 0, out
 
-        return jax.lax.scan(one, 0, cache)[1]
+        scanned = jax.lax.scan(one, 0, rest)[1]
+        rows = scanned.pop("_rows")
+        scales = scanned.pop("_scales", None)
+        return scanned, rows, scales
+
+    def compact(self, cache: dict, do=True) -> dict:
+        """Pack the oldest C window tokens into the pools across all layers
+        (uniform batch).  ``do``: scalar predicate — when False the state
+        passes through unchanged.  Predication instead of lax.cond because
+        XLA:TPU executes BOTH cond branches (materializing a dead full-pool
+        copy); see _compact_scan for why the pool write is hoisted."""
+        do = jnp.asarray(do)
+        scanned, rows, scales = self._compact_scan(
+            cache, do, do.astype(jnp.int32))
+        slot = jnp.clip(cache["n_chunks"][0, 0], 0, self.max_chunks - 1)
+
+        def put(pool, upd):                          # pool [L, mc, ...]
+            cur = jax.lax.dynamic_slice(
+                pool, (0, slot) + (0,) * (pool.ndim - 2),
+                (pool.shape[0], 1, *pool.shape[2:]))
+            return jax.lax.dynamic_update_slice(
+                pool, jnp.where(do, upd[:, None].astype(pool.dtype), cur),
+                (0, slot) + (0,) * (pool.ndim - 2))
+
+        out = dict(cache, **scanned)
+        out["kv_pool"] = put(cache["kv_pool"], rows)
+        if scales is not None:
+            out["kv_scales"] = put(cache["kv_scales"], scales)
+        return out
+
+    def compact_slots(self, cache: dict, do) -> dict:
+        """Per-slot compaction of the stacked cache for slots where do[b]."""
+        mc = self.max_chunks
+        do = jnp.asarray(do)                                   # [B]
+        scanned, rows, scales = self._compact_scan(
+            cache, do[:, None, None, None], do.astype(jnp.int32))
+        B = do.shape[0]
+        b_i = jnp.arange(B)
+        ci = jnp.clip(cache["n_chunks"][0], 0, mc - 1)         # [B]
+
+        def put(pool, upd):                          # pool [L, mc, B, ...]
+            existing = pool[:, ci, b_i]                        # [L, B, ...]
+            sel = do.reshape((1, B) + (1,) * (upd.ndim - 2))
+            return pool.at[:, ci, b_i].set(
+                jnp.where(sel, upd.astype(pool.dtype), existing))
+
+        out = dict(cache, **scanned)
+        out["kv_pool"] = put(cache["kv_pool"], rows)
+        if scales is not None:
+            out["kv_scales"] = put(cache["kv_scales"], scales)
+        return out
 
     def _decode_attend_xla(self, lc, q, n_chunks, win_len, B, Hkv, D):
         """XLA fallback: decompress pools, two-part masked attention.

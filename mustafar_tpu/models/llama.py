@@ -128,12 +128,18 @@ def forward(cfg: ModelConfig, params: dict, tokens: jnp.ndarray, cache: Any,
         def attend(lc, q, k, v):
             return cache_impl.decode_attend(lc, q, k, v, aux)
 
-    # Keys the decode step never writes (e.g. the compressed kv_pool, whose
-    # compaction runs outside the step).  Excluding them from the layer-scan
-    # output stops XLA from re-stacking the full pool every token (measured
-    # ~0.77 ms/step copy in the round-1 decode trace).
-    inv_keys = (tuple(getattr(cache_impl, "decode_invariant_keys", ()))
-                if mode == "decode" else ())
+    # Keys the step never writes (e.g. the compressed kv_pool: decode
+    # compaction runs outside the step; a prefill segment's single-chunk
+    # write is staged and applied post-scan by finalize_segment).  Excluding
+    # them from the layer-scan output stops XLA from re-stacking the full
+    # pool (measured ~0.77 ms/step decode copy; a second 5.58 GiB pool
+    # buffer at 32k-ctx prefill).
+    if mode == "decode":
+        inv_keys = tuple(getattr(cache_impl, "decode_invariant_keys", ()))
+    elif mode == "prefill_segment":
+        inv_keys = tuple(getattr(cache_impl, "segment_invariant_keys", ()))
+    else:
+        inv_keys = ()
 
     def body(x, layer_in):
         lp, lc = layer_in
@@ -145,6 +151,8 @@ def forward(cfg: ModelConfig, params: dict, tokens: jnp.ndarray, cache: Any,
     x, new_cache = jax.lax.scan(body, x, (params["layers"], cache))
     if inv_keys:
         new_cache = dict(new_cache, **{k: cache[k] for k in inv_keys})
+    if mode == "prefill_segment" and hasattr(cache_impl, "finalize_segment"):
+        new_cache = cache_impl.finalize_segment(cache, new_cache)
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     if last_only:
         if mode == "prefill_segment":

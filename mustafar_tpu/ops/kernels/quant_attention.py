@@ -436,10 +436,18 @@ def fused_q_decode_attention_ps(q, kv_pool, kscales, vscales, k_win, v_win,
 
 def _q_seg_kernel(scalars_ref, pool_hbm, ks_ref, vs_ref, q_ref, out_ref,
                   m_out, l_out, buf, sems, *, codec: QuantCodec, fdepth,
-                  gsize, scale, window):
+                  gsize, scale, window, hpb):
     nc = scalars_ref[0]
     seg_start = scalars_ref[1]
     bh = pl.program_id(0)
+    # ks_ref/vs_ref blocks hold hpb heads' scale rows; pick ours in-register
+    # (dynamic sublane indexing is illegal on real TPU).
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (hpb, codec.dim), 0)
+              == bh % hpb)
+
+    def _sel(ref, ci):
+        return jnp.sum(jnp.where(onehot, ref[ci].astype(jnp.float32), 0.0),
+                       axis=0)
     D, C = codec.dim, codec.chunk
     KR = codec.k_rows
     VR = codec.v_rows
@@ -475,7 +483,7 @@ def _q_seg_kernel(scalars_ref, pool_hbm, ks_ref, vs_ref, q_ref, out_ref,
             ci = fi * fdepth + j
             kd = _unpack(buf[slot, j, :KR], codec.kbits)         # [C, D]
             vd = _unpack(buf[slot, j, KR:KR + VR], codec.vbits)
-            qk = (q_all * ks_ref[ci]).astype(jnp.bfloat16)
+            qk = (q_all * _sel(ks_ref, ci)).astype(jnp.bfloat16)
             s = jax.lax.dot_general(qk, kd, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32) * scale
             mask = jnp.full((QR, C), ci < nc)
@@ -492,7 +500,7 @@ def _q_seg_kernel(scalars_ref, pool_hbm, ks_ref, vs_ref, q_ref, out_ref,
             pv = jax.lax.dot_general(p.astype(jnp.bfloat16), vd,
                                      (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-            pv = pv * vs_ref[ci]
+            pv = pv * _sel(vs_ref, ci)
             acc = acc * corr[:, :D] + pv
             m = m_new
         return m, l, acc
@@ -526,7 +534,15 @@ def fused_q_segment_attention(q_seg, kv_pool, kscales, vscales, n_chunks,
 
     scalars = jnp.stack([n_chunks.astype(jnp.int32),
                          jnp.asarray(seg_start, jnp.int32)])
-    sspec = pl.BlockSpec((max_chunks, 1, D), lambda b, sref: (0, b, 0),
+    # Scales arrive [mc, BH, D].  A per-bh (mc, 1, D) block lands the bh
+    # offset on the sublane axis — not 8-aligned on real TPU (interpret mode
+    # doesn't check; see CLAUDE.md).  Block hpb=8 heads per block like the
+    # decode kernels (8-aligned offsets), keep the dynamic chunk index on the
+    # untiled leading dim, and one-hot-select this grid step's head row
+    # in-register inside the kernel.
+    hpb = 8 if BH % 8 == 0 else BH
+    sspec = pl.BlockSpec((max_chunks, hpb, D),
+                         lambda b, sref: (0, b // hpb, 0),
                          memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -548,7 +564,8 @@ def fused_q_segment_attention(q_seg, kv_pool, kscales, vscales, n_chunks,
 
     acc, m, l = pl.pallas_call(
         functools.partial(_q_seg_kernel, codec=codec, fdepth=fdepth, gsize=G,
-                          scale=float(1.0 / np.sqrt(D)), window=window),
+                          scale=float(1.0 / np.sqrt(D)), window=window,
+                          hpb=hpb),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((BH, QR, D), jnp.float32),
                    jax.ShapeDtypeStruct((BH, QR, 1), jnp.float32),

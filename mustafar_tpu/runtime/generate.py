@@ -32,6 +32,13 @@ def _generate_impl(cfg, cache_impl, max_new: int, eos_ids: tuple, min_new: int,
     else:
         logits, cache = llama.prefill(cfg, params, tokens, cache, cache_impl,
                                       true_len, last_only=True)
+    return _decode_impl(cfg, cache_impl, max_new, eos_ids, min_new,
+                        params, cache, logits, true_len)[0]
+
+
+def _decode_impl(cfg, cache_impl, max_new: int, eos_ids: tuple, min_new: int,
+                 params, cache, logits, true_len):
+    B = logits.shape[0]
 
     def pick(logits2d, step):
         """Greedy argmax; EOS logits suppressed below min_new generated tokens
@@ -92,8 +99,11 @@ def _generate_impl(cfg, cache_impl, max_new: int, eos_ids: tuple, min_new: int,
 
     state = (jnp.int32(1), next_tok, cache, done, out)
     if not has_compact:
-        _, _, _, done, out = jax.lax.while_loop(live, body, state)
-        return out
+        _, _, cache, done, out = jax.lax.while_loop(live, body, state)
+        # the (discarded) cache is returned so a donated input cache has an
+        # output to alias with — without it XLA copies the multi-GiB pool
+        # into the loop instead of mutating the donated buffer in place
+        return out, cache
 
     def inner_cond(state):
         i, _, cache, _, _ = state
@@ -102,12 +112,13 @@ def _generate_impl(cfg, cache_impl, max_new: int, eos_ids: tuple, min_new: int,
     def outer_body(state):
         state = jax.lax.while_loop(inner_cond, body, state)
         i, tok, cache, done, out = state
-        cache = jax.lax.cond(window_full(i, cache), cache_impl.compact,
-                             lambda c: c, cache)
+        # predicated, not lax.cond: XLA:TPU executes both cond branches,
+        # which materializes a dead full-pool copy (OOM at 32k ctx)
+        cache = cache_impl.compact(cache, window_full(i, cache))
         return (i, tok, cache, done, out)
 
     state = jax.lax.while_loop(live, outer_body, state)
-    return state[4]
+    return state[4], state[2]                     # (tokens, cache) — see above
 
 
 class Generator:
@@ -120,6 +131,9 @@ class Generator:
         self.dtype = dtype
         self.cache_impl = make_cache(engine)
         self._gen_fn = {}
+        self._init_fn = {}
+        self._seg_fn = None
+        self._dec_fn = {}
 
     def _bucket(self, n: int) -> int:
         b = self.engine.prefill_bucket
@@ -148,14 +162,20 @@ class Generator:
             eos_ids = (int(eos_id),)
         else:
             eos_ids = tuple(int(e) for e in eos_id)
-        key = (B, Tpad, max_new_tokens, eos_ids, min_new_tokens)
-        if key not in self._gen_fn:
-            self._gen_fn[key] = jax.jit(functools.partial(
-                _generate_impl, self.cfg, self.cache_impl, max_new_tokens,
-                eos_ids, min_new_tokens, self.dtype,
-                self.engine.chunked_prefill))
-        toks = jnp.pad(input_ids, ((0, 0), (0, Tpad - T)))
-        out = np.asarray(self._gen_fn[key](self.params, toks, jnp.int32(T)))
+        if self.engine.chunked_prefill:
+            out = self._generate_chunked(input_ids, B, T, Tpad,
+                                         max_new_tokens, eos_ids,
+                                         min_new_tokens)
+        else:
+            key = (B, Tpad, max_new_tokens, eos_ids, min_new_tokens)
+            if key not in self._gen_fn:
+                self._gen_fn[key] = jax.jit(functools.partial(
+                    _generate_impl, self.cfg, self.cache_impl,
+                    max_new_tokens, eos_ids, min_new_tokens, self.dtype,
+                    False))
+            toks = jnp.pad(input_ids, ((0, 0), (0, Tpad - T)))
+            out = np.asarray(self._gen_fn[key](self.params, toks,
+                                               jnp.int32(T)))
         result = []
         for row in out:
             if eos_ids:
@@ -163,3 +183,47 @@ class Generator:
                 row = row[: stop[0]] if len(stop) else row
             result.append(row)
         return result
+
+    def _generate_chunked(self, input_ids, B, T, Tpad, max_new_tokens,
+                          eos_ids, min_new_tokens):
+        """Host-driven chunked prefill + jitted decode, cache donated.
+
+        A single jit holding init + a 100+-segment prefill scan + the decode
+        loop zero-inits the multi-GiB kv_pool as an HLO temp and fragments
+        HBM to ~2x the pool size (measured: 49% fragmentation -> OOM at 32k
+        ctx).  Driving segments from the host with ``donate_argnums`` keeps
+        exactly one pool alive end to end; dispatches are async so the device
+        stays busy.
+        """
+        C = self.cache_impl.C if hasattr(self.cache_impl, "C") \
+            else self.engine.prefill_bucket
+        assert Tpad % C == 0, (Tpad, C)
+        if B not in self._init_fn:
+            self._init_fn[B] = jax.jit(
+                lambda: self.cache_impl.init(B, self.dtype))
+        if self._seg_fn is None:
+            def _seg(params, cache, seg_tokens, seg_start, true_len):
+                positions = seg_start + jnp.arange(C)
+                return llama.forward(
+                    self.cfg, params, seg_tokens, cache, self.cache_impl,
+                    positions, "prefill_segment", (seg_start, true_len),
+                    last_only=True)
+            self._seg_fn = jax.jit(_seg, donate_argnums=(1,))
+        dkey = (B, max_new_tokens, eos_ids, min_new_tokens)
+        if dkey not in self._dec_fn:
+            self._dec_fn[dkey] = jax.jit(
+                functools.partial(_decode_impl, self.cfg, self.cache_impl,
+                                  max_new_tokens, eos_ids, min_new_tokens),
+                donate_argnums=(1,))
+
+        toks = np.zeros((B, Tpad), np.int32)
+        toks[:, :T] = np.asarray(input_ids)
+        cache = self._init_fn[B]()
+        tl = jnp.int32(T)
+        logits = None
+        for s in range(Tpad // C):
+            logits, cache = self._seg_fn(self.params, cache,
+                                         toks[:, s * C:(s + 1) * C],
+                                         jnp.int32(s * C), tl)
+        toks_out, _ = self._dec_fn[dkey](self.params, cache, logits, tl)
+        return np.asarray(toks_out)
