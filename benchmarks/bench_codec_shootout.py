@@ -71,24 +71,27 @@ def run_depth(mc, nact, iters):
     k_win = jnp.asarray(rs.randn(B, W, Hkv, D) * 0.1, jnp.bfloat16)
     v_win = jnp.asarray(rs.randn(B, W, Hkv, D) * 0.1, jnp.bfloat16)
 
+    # big buffers are ARGUMENTS, not jit closures — captured multi-hundred-MB
+    # arrays are baked into the program and fail remote compile (HTTP 413)
     bm_pool = jax.lax.bitcast_convert_type(
         jnp.asarray(rs.randn(mc, BH, 2 * fmt.stream_rows, 128) * 0.1,
                     jnp.bfloat16), jnp.int16)
-    bm_fn = jax.jit(lambda q, nc, wl: ska.fused_sparse_decode_attention_v7(
-        q, bm_pool, k_win, v_win, nc, wl, fmt, fmt, mc, hpb=16))
+    bm_fn = jax.jit(lambda q, pool, nc, wl:
+                    ska.fused_sparse_decode_attention_v7(
+                        q, pool, k_win, v_win, nc, wl, fmt, fmt, mc, hpb=16))
 
     q_pool = jnp.asarray(
         rs.randint(-2000, 2000, (mc, BH, codec.stream_rows, 128)), jnp.int16)
     ksc = jnp.asarray(rs.rand(mc, BH, D) * 0.02 + 0.01, jnp.bfloat16)
     vsc = jnp.asarray(rs.rand(mc, BH, D) * 0.02 + 0.01, jnp.bfloat16)
-    qq_fn = jax.jit(lambda q, nc, wl: qa.fused_q_decode_attention(
-        q, q_pool, ksc, vsc, k_win, v_win, nc, wl, codec, mc))
+    qq_fn = jax.jit(lambda q, pool, nc, wl: qa.fused_q_decode_attention(
+        q, pool, ksc, vsc, k_win, v_win, nc, wl, codec, mc))
 
     kd = jnp.asarray(rs.randn(B, Hkv, S, D) * 0.1, jnp.bfloat16)
     vd = jnp.array(kd)
 
     @jax.jit
-    def dense_fn(q):
+    def dense_fn(q, kd, vd):
         qg = q[:, 0].reshape(B, Hkv, G, D)
         s = jnp.einsum("bhgd,bhsd->bhgs", qg, kd,
                        preferred_element_type=jnp.float32) / np.sqrt(D)
@@ -96,9 +99,9 @@ def run_depth(mc, nact, iters):
         return jnp.einsum("bhgs,bhsd->bhgd", w.astype(jnp.bfloat16), vd,
                           preferred_element_type=jnp.float32)
 
-    t_bm = device_time(bm_fn, (q, nc, wl), iters, f"bm{mc}")
-    t_qq = device_time(qq_fn, (q, nc, wl), iters, f"qq{mc}")
-    t_d = device_time(dense_fn, (q,), iters, f"d{mc}")
+    t_bm = device_time(bm_fn, (q, bm_pool, nc, wl), iters, f"bm{mc}")
+    t_qq = device_time(qq_fn, (q, q_pool, nc, wl), iters, f"qq{mc}")
+    t_d = device_time(dense_fn, (q, kd, vd), iters, f"d{mc}")
 
     bm_bytes = (BH * nact * 2 * fmt.stream_rows * 128 * 2
                 + 2 * B * WIN_LEN * Hkv * D * 2)
