@@ -102,7 +102,9 @@ def _q_decode_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, ks_ref, vs_ref,
         def _(s=s):
             copy(s, s).start()
 
-    @pl.when(nc == 0)
+    # every started wcopy MUST be waited by win_body — an un-awaited DMA at
+    # kernel exit aborts the device; hence the n_wtiles > 0 guards
+    @pl.when((nc == 0) & (n_wtiles > 0))
     def _():
         wcopy(0, 0, 0).start()
         wcopy(0, 0, 1).start()
@@ -138,7 +140,7 @@ def _q_decode_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, ks_ref, vs_ref,
         def _():
             copy((fi + nslots - 1) % nslots, fi + nslots - 1).start()
 
-        @pl.when(fi + 1 == n_fetch)
+        @pl.when((fi + 1 == n_fetch) & (n_wtiles > 0))
         def _():
             wcopy(0, 0, 0).start()
             wcopy(0, 0, 1).start()
@@ -186,8 +188,10 @@ def _q_decode_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, ks_ref, vs_ref,
         return 0
 
     jax.lax.fori_loop(0, n_wtiles, win_body, 0)
+    # nc == 0 and win_len == 0 leaves l == 0; clamp to avoid 0/0
     out_ref[:] = (acc_ref[:].reshape(HG, D)
-                  / l_ref[:].reshape(HG, 128)[:, :1]).reshape(out_ref.shape)
+                  / jnp.maximum(l_ref[:].reshape(HG, 128)[:, :1], 1e-30)
+                  ).reshape(out_ref.shape)
 
 
 def fused_q_decode_attention(q, kv_pool, kscales, vscales, k_win, v_win,
@@ -215,6 +219,9 @@ def fused_q_decode_attention(q, kv_pool, kscales, vscales, k_win, v_win,
     assert kv_pool.shape == (max_chunks, BH, RQ, 128), kv_pool.shape
     while max_chunks % fdepth:
         fdepth //= 2
+    # more slots than fetch groups would index pool_hbm out of bounds at
+    # trace time in the static prefetch loop (pl.ds(s*fdepth, fdepth))
+    nslots = max(1, min(nslots, max_chunks // fdepth))
     while W % wt:
         wt //= 2
 

@@ -1458,7 +1458,9 @@ def _fused_v7_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, q_ref, out_ref,
     def _():
         copy(0, 0).start()
 
-    @pl.when(nc == 0)
+    # every started wcopy MUST be waited by win_body — an un-awaited DMA at
+    # kernel exit aborts the device; hence the n_wtiles > 0 guards
+    @pl.when((nc == 0) & (n_wtiles > 0))
     def _():
         wcopy(0, 0, 0).start()
         wcopy(0, 0, 1).start()
@@ -1489,7 +1491,7 @@ def _fused_v7_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, q_ref, out_ref,
         def _():
             copy((ci + 1) % 2, ci + 1).start()
 
-        @pl.when(ci + 1 == nc)
+        @pl.when((ci + 1 == nc) & (n_wtiles > 0))
         def _():
             wcopy(0, 0, 0).start()
             wcopy(0, 0, 1).start()
@@ -1534,8 +1536,10 @@ def _fused_v7_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, q_ref, out_ref,
         return 0
 
     jax.lax.fori_loop(0, n_wtiles, win_body, 0)
+    # nc == 0 and win_len == 0 leaves l == 0; clamp to avoid 0/0
     out_ref[:] = (acc_ref[:].reshape(HG, D)
-                  / l_ref[:].reshape(HG, 128)[:, :1]).reshape(out_ref.shape)
+                  / jnp.maximum(l_ref[:].reshape(HG, 128)[:, :1], 1e-30)
+                  ).reshape(out_ref.shape)
 
 
 def fused_sparse_decode_attention_v7(q, kv_pool, k_win, v_win, n_chunks,

@@ -432,7 +432,7 @@ def test_fused_v7_matches_v6():
     q = rs.randn(B, 1, Hq, D).astype(np.float32)
 
     for nact, wl, win in [(0, 30, None), (1, 90, None), (3, 288, None),
-                          (2, 120, 512)]:
+                          (2, 120, 512), (2, 0, None)]:
         k_win = rs.randn(B, W, Hkv, D).astype(np.float32); k_win[:, wl:] = 0
         v_win = rs.randn(B, W, Hkv, D).astype(np.float32); v_win[:, wl:] = 0
         args = (jnp.asarray(q, jnp.bfloat16), pool,

@@ -128,11 +128,12 @@ def _ref_decode(qx, kdeq, vdeq, k_win, v_win, nact, wl, window=None,
     return out.reshape(B, 1, Hq, D)
 
 
-@pytest.mark.parametrize("vbits,window", [(8, None), (4, None), (4, 700)])
-def test_q_decode_kernel_matches_reference(vbits, window):
+@pytest.mark.parametrize("vbits,window,wl", [(8, None, 120), (4, None, 120),
+                                             (4, 700, 120), (4, None, 0)])
+def test_q_decode_kernel_matches_reference(vbits, window, wl):
     codec = qf.QuantCodec(256, 128, 8, vbits)
     B, Hkv, G, D, W = 2, 2, 2, 128, 288
-    mc, nact, wl = 4, 3, 120
+    mc, nact = 4, 3
     rs = np.random.RandomState(2)
     pool, ks, vs, kdeq, vdeq = _mk_pool(rs, B, Hkv, mc, nact, codec)
     k_win = jnp.asarray(rs.randn(B, W, Hkv, D) * 0.1, jnp.bfloat16)
@@ -142,6 +143,24 @@ def test_q_decode_kernel_matches_reference(vbits, window):
         qx, pool, ks, vs, k_win, v_win, jnp.int32(nact), jnp.int32(wl),
         codec, mc, window=window), np.float32)
     ref = _ref_decode(qx, kdeq, vdeq, k_win, v_win, nact, wl, window=window)
+    np.testing.assert_allclose(out, ref, atol=3e-2 * np.abs(ref).max())
+
+
+def test_q_decode_kernel_clamps_nslots():
+    # nslots > max_chunks // fdepth used to index pool_hbm out of bounds at
+    # trace time in the static prefetch loop; the wrapper must clamp it.
+    codec = qf.QuantCodec(256, 128, 8, 4)
+    B, Hkv, G, D, W = 2, 2, 2, 128, 288
+    mc, nact, wl = 4, 3, 120
+    rs = np.random.RandomState(2)
+    pool, ks, vs, kdeq, vdeq = _mk_pool(rs, B, Hkv, mc, nact, codec)
+    k_win = jnp.asarray(rs.randn(B, W, Hkv, D) * 0.1, jnp.bfloat16)
+    v_win = jnp.asarray(rs.randn(B, W, Hkv, D) * 0.1, jnp.bfloat16)
+    qx = jnp.asarray(rs.randn(B, 1, Hkv * G, D) * 0.1, jnp.bfloat16)
+    out = np.asarray(qa.fused_q_decode_attention(
+        qx, pool, ks, vs, k_win, v_win, jnp.int32(nact), jnp.int32(wl),
+        codec, mc, nslots=4), np.float32)
+    ref = _ref_decode(qx, kdeq, vdeq, k_win, v_win, nact, wl)
     np.testing.assert_allclose(out, ref, atol=3e-2 * np.abs(ref).max())
 
 
