@@ -197,7 +197,8 @@ def _q_decode_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, ks_ref, vs_ref,
 def fused_q_decode_attention(q, kv_pool, kscales, vscales, k_win, v_win,
                              n_chunks, win_len, codec: QuantCodec,
                              max_chunks: int, hpb: int = 8, wt: int = 96,
-                             fdepth: int = 4, nslots: int = 2,
+                             fdepth: int | None = None,
+                             nslots: int | None = None,
                              window: int | None = None):
     """Fused decode over quantized pools, uniform batch.
 
@@ -217,6 +218,15 @@ def fused_q_decode_attention(q, kv_pool, kscales, vscales, k_win, v_win,
     NB = BH // hpb
     RQ = codec.stream_rows
     assert kv_pool.shape == (max_chunks, BH, RQ, 128), kv_pool.shape
+    if fdepth is None:
+        # Measured on v5e (device-time sweep, docs/PERFORMANCE.md): shallow
+        # pools want single-chunk fetches with 3 slots (issue/compute overlap
+        # on every chunk: -29% at mc=4, -8% at mc=12); deep pools want
+        # grouped fetches (fewer issue+wait rounds: fd4 best at mc>=24, fd1
+        # +6% at mc=40).  Crossover sits between 12 and 24 chunks.
+        fdepth, nslots = (1, 3) if max_chunks <= 16 else (4, 2)
+    if nslots is None:
+        nslots = 2
     while max_chunks % fdepth:
         fdepth //= 2
     # more slots than fetch groups would index pool_hbm out of bounds at

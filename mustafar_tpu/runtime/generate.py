@@ -1,4 +1,4 @@
-"""Greedy generation loop: jitted prefill + on-device while_loop decode.
+"""Generation loop: jitted prefill + on-device while_loop decode.
 
 Replaces the reference's HF ``model.generate()`` control path
 (pred_long_bench.py:75-82: greedy, num_beams=1, do_sample=False) with a fully
@@ -6,10 +6,17 @@ on-device loop — one jit per (padded prompt bucket, max_new_tokens) instead of
 per-token python dispatch.  EOS handling matches HF greedy: a sequence that
 has emitted EOS keeps emitting EOS, and the loop exits early once every
 sequence is done.
+
+Beyond the reference (which only ever greedy-decodes), the loop supports
+on-device ancestral sampling — temperature, top-k, and top-p (nucleus)
+filtering with a per-call seed — selected via ``SamplingParams``.  All
+filtering runs inside the decode while_loop (no host round-trips); the PRNG
+key is folded with the step index so every position draws fresh randomness.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
@@ -22,8 +29,44 @@ from mustafar_tpu.config import EngineConfig
 from mustafar_tpu.models import llama
 
 
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    """temperature == 0 -> greedy argmax (top_k/top_p ignored).
+    top_k == 0 -> no top-k cutoff; top_p == 1.0 -> no nucleus cutoff."""
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+    seed: int = 0
+
+    @property
+    def greedy(self) -> bool:
+        return self.temperature == 0.0
+
+
+GREEDY = SamplingParams()
+
+
+def _sample(logits2d, key, step, sp: SamplingParams):
+    """Filtered categorical draw; [B, V] logits -> [B] int32 token ids."""
+    l = logits2d.astype(jnp.float32) / sp.temperature
+    if sp.top_k and sp.top_k < l.shape[-1]:
+        kth = jax.lax.top_k(l, sp.top_k)[0][:, -1:]
+        l = jnp.where(l < kth, -jnp.inf, l)
+    if sp.top_p < 1.0:
+        srt = jnp.sort(l, axis=-1)[:, ::-1]                    # descending
+        probs = jax.nn.softmax(srt, axis=-1)
+        # keep tokens whose cumulative probability BEFORE them is < p
+        # (the first token always survives); cutoff = smallest kept logit
+        keep = (jnp.cumsum(probs, axis=-1) - probs) < sp.top_p
+        cutoff = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1, keepdims=True)
+        l = jnp.where(l < cutoff, -jnp.inf, l)
+    return jax.random.categorical(jax.random.fold_in(key, step),
+                                  l, axis=-1).astype(jnp.int32)
+
+
 def _generate_impl(cfg, cache_impl, max_new: int, eos_ids: tuple, min_new: int,
-                   dtype, chunked: bool, params, tokens, true_len):
+                   dtype, chunked: bool, sampling: SamplingParams,
+                   params, tokens, true_len):
     B = tokens.shape[0]
     cache = cache_impl.init(B, dtype)
     if chunked:
@@ -32,18 +75,20 @@ def _generate_impl(cfg, cache_impl, max_new: int, eos_ids: tuple, min_new: int,
     else:
         logits, cache = llama.prefill(cfg, params, tokens, cache, cache_impl,
                                       true_len, last_only=True)
-    return _decode_impl(cfg, cache_impl, max_new, eos_ids, min_new,
+    return _decode_impl(cfg, cache_impl, max_new, eos_ids, min_new, sampling,
                         params, cache, logits, true_len)[0]
 
 
 def _decode_impl(cfg, cache_impl, max_new: int, eos_ids: tuple, min_new: int,
-                 params, cache, logits, true_len):
+                 sampling: SamplingParams, params, cache, logits, true_len):
     B = logits.shape[0]
+    key = jax.random.PRNGKey(sampling.seed)
 
     def pick(logits2d, step):
-        """Greedy argmax; EOS logits suppressed below min_new generated tokens
-        (the reference's samsum run sets min_length=ctx+1,
-        pred_long_bench.py:66-74 — HF masks EOS until min_length)."""
+        """Token choice per SamplingParams (greedy argmax by default); EOS
+        logits suppressed below min_new generated tokens (the reference's
+        samsum run sets min_length=ctx+1, pred_long_bench.py:66-74 — HF
+        masks EOS until min_length)."""
         if eos_ids and min_new > 0:
             # the first `min_new` generated tokens cannot be EOS (HF
             # MinLengthLogitsProcessor semantics: suppressed while
@@ -52,6 +97,8 @@ def _decode_impl(cfg, cache_impl, max_new: int, eos_ids: tuple, min_new: int,
             for e in eos_ids:
                 logits2d = logits2d.at[:, e].set(
                     jnp.where(suppress, -jnp.inf, logits2d[:, e]))
+        if not sampling.greedy:
+            return _sample(logits2d, key, step, sampling)
         return jnp.argmax(logits2d, axis=-1).astype(jnp.int32)
 
     def is_eos(tok):
@@ -140,13 +187,16 @@ class Generator:
         return max(b, (n + b - 1) // b * b)
 
     def generate(self, input_ids, max_new_tokens: int, eos_id=None,
-                 min_new_tokens: int = 0):
+                 min_new_tokens: int = 0,
+                 sampling: SamplingParams = GREEDY):
         """input_ids: [B, T] int array (uniform length, left-aligned, no padding).
 
         eos_id: int, or a sequence of ints (any of them stops a sequence —
         the reference's samsum run stops on EOS or newline,
         pred_long_bench.py:66-74).  min_new_tokens suppresses EOS for the
         first N generated tokens (reference min_length=ctx+1).
+        sampling: SamplingParams; the default is greedy (matching the
+        reference).  Each distinct SamplingParams compiles its own loop.
 
         Returns a list of B 1-D numpy arrays of generated ids (EOS excluded).
         """
@@ -165,14 +215,14 @@ class Generator:
         if self.engine.chunked_prefill:
             out = self._generate_chunked(input_ids, B, T, Tpad,
                                          max_new_tokens, eos_ids,
-                                         min_new_tokens)
+                                         min_new_tokens, sampling)
         else:
-            key = (B, Tpad, max_new_tokens, eos_ids, min_new_tokens)
+            key = (B, Tpad, max_new_tokens, eos_ids, min_new_tokens, sampling)
             if key not in self._gen_fn:
                 self._gen_fn[key] = jax.jit(functools.partial(
                     _generate_impl, self.cfg, self.cache_impl,
                     max_new_tokens, eos_ids, min_new_tokens, self.dtype,
-                    False))
+                    False, sampling))
             toks = jnp.pad(input_ids, ((0, 0), (0, Tpad - T)))
             out = np.asarray(self._gen_fn[key](self.params, toks,
                                                jnp.int32(T)))
@@ -185,7 +235,7 @@ class Generator:
         return result
 
     def _generate_chunked(self, input_ids, B, T, Tpad, max_new_tokens,
-                          eos_ids, min_new_tokens):
+                          eos_ids, min_new_tokens, sampling=GREEDY):
         """Host-driven chunked prefill + jitted decode, cache donated.
 
         A single jit holding init + a 100+-segment prefill scan + the decode
@@ -209,11 +259,12 @@ class Generator:
                     positions, "prefill_segment", (seg_start, true_len),
                     last_only=True)
             self._seg_fn = jax.jit(_seg, donate_argnums=(1,))
-        dkey = (B, max_new_tokens, eos_ids, min_new_tokens)
+        dkey = (B, max_new_tokens, eos_ids, min_new_tokens, sampling)
         if dkey not in self._dec_fn:
             self._dec_fn[dkey] = jax.jit(
                 functools.partial(_decode_impl, self.cfg, self.cache_impl,
-                                  max_new_tokens, eos_ids, min_new_tokens),
+                                  max_new_tokens, eos_ids, min_new_tokens,
+                                  sampling),
                 donate_argnums=(1,))
 
         toks = np.zeros((B, Tpad), np.int32)

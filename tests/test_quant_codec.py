@@ -159,7 +159,7 @@ def test_q_decode_kernel_clamps_nslots():
     qx = jnp.asarray(rs.randn(B, 1, Hkv * G, D) * 0.1, jnp.bfloat16)
     out = np.asarray(qa.fused_q_decode_attention(
         qx, pool, ks, vs, k_win, v_win, jnp.int32(nact), jnp.int32(wl),
-        codec, mc, nslots=4), np.float32)
+        codec, mc, fdepth=4, nslots=4), np.float32)
     ref = _ref_decode(qx, kdeq, vdeq, k_win, v_win, nact, wl)
     np.testing.assert_allclose(out, ref, atol=3e-2 * np.abs(ref).max())
 
