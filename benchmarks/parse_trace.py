@@ -39,7 +39,8 @@ def summarize(trace_dir: str, iters: int = 1, top: int = 20):
             cnt[name[:60]] += 1
     print(f"total device time: {total/iters/1000:.3f} ms per iteration")
     for n, t in sorted(durs.items(), key=lambda kv: -kv[1])[:top]:
-        print(f"  {t/iters/1000:9.3f} ms/iter x{cnt[n]//max(iters,1):4d}  {n}")
+        print(f"  {t/iters/1000:9.3f} ms/iter n={cnt[n]:6d} "
+              f"({t/cnt[n]/1000:8.3f} ms/call)  {n}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,83 @@
+"""Device-time profile of the end-to-end decode loop at the bench shape.
+
+Builds the same engine as bench.py (Llama-3-8B geometry, reduced depth),
+prefills once OUTSIDE the trace, then traces the jitted decode while_loop
+alone and prints the per-step op breakdown (benchmarks/parse_trace.py).
+Used to locate non-attention overheads in the decode loop: pool carry
+copies, compaction, LM head, sampling.
+
+    python benchmarks/profile_e2e.py [sparse|dense] [layers] [gen]
+"""
+
+import dataclasses
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(engine_kind="sparse", layers=16, gen=64):
+    from mustafar_tpu.cache import make_cache
+    from mustafar_tpu.config import (CacheMode, EngineConfig, LLAMA3_8B,
+                                     PruneConfig, PruneMethod)
+    from mustafar_tpu.models import llama
+    from mustafar_tpu.models.llama import init_params
+    from mustafar_tpu.runtime import generate as G
+
+    cfg = dataclasses.replace(LLAMA3_8B, num_layers=layers, vocab_size=32000)
+    B, prompt_len = 32, 300
+    max_seq = 1312
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    params = jax.block_until_ready(params)
+    prompt = np.random.RandomState(0).randint(1, cfg.vocab_size,
+                                              (B, prompt_len))
+    if engine_kind == "sparse":
+        eng = EngineConfig(
+            model=cfg, cache_mode=CacheMode.COMPRESSED,
+            prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                              k_sparsity=0.7, v_sparsity=0.7),
+            max_seq_len=max_seq, prefill_bucket=256, chunk_size=256,
+            codec="q8q4")
+    else:
+        eng = EngineConfig(model=cfg, cache_mode=CacheMode.DENSE,
+                           max_seq_len=max_seq, prefill_bucket=256)
+    cache_impl = make_cache(eng)
+    Tpad = 512
+    toks = jnp.pad(jnp.asarray(prompt, jnp.int32), ((0, 0), (0, Tpad - 300)))
+    tl = jnp.int32(prompt_len)
+
+    @jax.jit
+    def prefill_fn(params, toks, tl):
+        cache = cache_impl.init(B, jnp.bfloat16)
+        return llama.prefill(cfg, params, toks, cache, cache_impl, tl,
+                             last_only=True)
+
+    # same program shape as the production monolithic path (_generate_impl):
+    # the decode while_loop carries the cache, no donation
+    dec_fn = jax.jit(functools.partial(
+        G._decode_impl, cfg, cache_impl, gen, (), 0, G.GREEDY))
+
+    logits, cache = jax.block_until_ready(prefill_fn(params, toks, tl))
+    out = jax.block_until_ready(dec_fn(params, cache, logits, tl))  # compile
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(dec_fn(params, cache, logits, tl))
+    dt = time.perf_counter() - t0
+    print(f"decode warm wall: {dt:.3f} s for {gen} steps "
+          f"({B * gen / dt:.1f} tok/s, {dt / gen * 1e3:.2f} ms/step)")
+    with jax.profiler.trace("/tmp/e2e_trace"):
+        out = dec_fn(params, cache, logits, tl)
+        jax.block_until_ready(out)
+
+    sys.path.insert(0, "benchmarks")
+    import parse_trace
+    parse_trace.summarize("/tmp/e2e_trace", gen, top=30)
+
+
+if __name__ == "__main__":
+    kind = sys.argv[1] if len(sys.argv) > 1 else "sparse"
+    layers = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    gen = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    main(kind, layers, gen)

@@ -124,11 +124,82 @@ class ChunkFormat:
         return self.dense_bytes / self.bytes_per_chunk
 
 
+def _mag_key(x: jnp.ndarray) -> tuple[jnp.ndarray, int]:
+    """|x| as a monotone non-negative int32 sort key (and its bit width).
+
+    Finite non-negative IEEE floats compare identically to their raw bit
+    patterns, so magnitude order questions become integer-bit questions.
+    bf16 inputs use the exact 15-bit key (bf16 == top 16 f32 bits); other
+    float dtypes go through f32 (31 bits).
+    """
+    if x.dtype == jnp.bfloat16:
+        k = jax.lax.bitcast_convert_type(jnp.abs(x), jnp.int16)
+        return k.astype(jnp.int32), 15
+    mag = jnp.abs(x.astype(jnp.float32))
+    return jax.lax.bitcast_convert_type(mag, jnp.int32), 31
+
+
+def _kth_largest_key(key: jnp.ndarray, keep: int, bits: int) -> jnp.ndarray:
+    """Per-row value of the ``keep``-th largest key (exact, via bitwise
+    binary search: largest t with count(key >= t) >= keep).  No sort — each
+    round is one compare+row-sum pass, TPU-friendly (XLA lax.top_k lowers to
+    a full O(n log^2 n) sort, measured 3-4 ms per compact layer at the bench
+    shape; this is ~50x cheaper)."""
+    thr = jnp.zeros(key.shape[:-1], jnp.int32)
+    for b in reversed(range(bits)):
+        cand = thr | (1 << b)
+        cnt = jnp.sum((key >= cand[..., None]).astype(jnp.int32), axis=-1)
+        thr = jnp.where(cnt >= keep, cand, thr)
+    return thr
+
+
+def _mask_from_key(key: jnp.ndarray, keep: int, bits: int) -> jnp.ndarray:
+    """Exact-``keep`` mask of the largest keys, ties to lower index (the
+    stable-top_k semantics the layouts rely on)."""
+    thr = _kth_largest_key(key, keep, bits)[..., None]
+    above = key > thr
+    n_above = jnp.sum(above.astype(jnp.int32), axis=-1, keepdims=True)
+    tie = key == thr
+    tie_rank = jnp.cumsum(tie.astype(jnp.int32), axis=-1)       # 1-based
+    return above | (tie & (tie_rank <= keep - n_above))
+
+
 def topk_mask(x: jnp.ndarray, keep: int) -> jnp.ndarray:
-    """Keep-mask of the ``keep`` largest |x| along the last axis (stable ties)."""
-    _, idx = jax.lax.top_k(jnp.abs(x.astype(jnp.float32)), keep)
-    bits = jnp.zeros(x.shape, jnp.int32)
-    return jnp.put_along_axis(bits, idx, 1, axis=-1, inplace=False) > 0
+    """Keep-mask of the ``keep`` largest |x| along the last axis (stable ties).
+
+    Sort-free and scatter-free: XLA's top_k (sort) + put_along_axis (serial
+    scatter, measured 12.8 ms per compact layer at the bench shape) made
+    cache compaction ~35 ms/layer; this formulation is pure compare/reduce."""
+    if keep >= x.shape[-1]:
+        return jnp.ones(x.shape, bool)
+    key, bits = _mag_key(x)
+    return _mask_from_key(key, keep, bits)
+
+
+def _stored_slots(dense: jnp.ndarray, keep: int) -> jnp.ndarray:
+    """Mask of exactly ``keep`` stored slots per row: all nonzeros first
+    (ties to lower channel), then lowest-index zero slots as padding.
+    dense is already pruned to <= keep nonzeros per row."""
+    key, bits = _mag_key(dense)
+    # any nonzero has key >= 1 and zeros key 0, so zeros lose every
+    # comparison and then fill remaining slots in index order via the
+    # tie-break — exactly the old top_k(where(x != 0, mag, -1)) semantics
+    key = jnp.where(dense != 0, key, 0)
+    return _mask_from_key(key, keep, bits)
+
+
+def _compact_rows(dense: jnp.ndarray, mask: jnp.ndarray, keep: int):
+    """Gather the ``keep`` masked elements of each row into channel order.
+
+    Returns (vals [..., keep] in dense.dtype, bits [..., D] int32).  The
+    rank -> slot map is materialized with a select+reduce (no scatter)."""
+    bits = mask.astype(jnp.int32)
+    rank = jnp.cumsum(bits, axis=-1) - 1                         # [..., D]
+    sel = mask[..., None] & (rank[..., None]
+                             == jnp.arange(keep, dtype=jnp.int32))
+    vals = jnp.sum(jnp.where(sel, dense[..., None].astype(jnp.float32), 0.0),
+                   axis=-2)                                      # [..., keep]
+    return vals.astype(dense.dtype), bits
 
 
 def _interleave_vals(vals_ck: jnp.ndarray, C: int, k: int) -> jnp.ndarray:
@@ -163,15 +234,11 @@ def encode_chunk(dense: jnp.ndarray, fmt: ChunkFormat):
     keep = fmt.keep_stored
     assert dense.shape[-2:] == (C, D), (dense.shape, fmt)
     *lead, _, _ = dense.shape
-    mag = jnp.abs(dense.astype(jnp.float32))
-    # top-`keep` slots: nonzeros first (ties to lower channel), zeros pad.
-    _, idx = jax.lax.top_k(jnp.where(dense != 0, mag, -1.0), keep)
-    idx = jnp.sort(idx, axis=-1)                     # channel order
-    vals = jnp.take_along_axis(dense, idx, axis=-1)  # [..., C, keep]
-    # bitmap marks the *stored* slots (zero-valued pads included, so popcount
-    # is always exactly `keep` and rank mapping is total).
-    bits = jnp.put_along_axis(jnp.zeros(dense.shape, jnp.int32), idx, 1,
-                              axis=-1, inplace=False)
+    # top-`keep` stored slots: nonzeros first (ties to lower channel), zeros
+    # pad; the bitmap marks the stored slots (zero-valued pads included, so
+    # popcount is always exactly `keep` and the rank mapping is total).
+    mask = _stored_slots(dense, keep)
+    vals, bits = _compact_rows(dense, mask, keep)    # [..., C, keep]
     P = fmt.planes
     planes = bits.reshape(*lead, 32, P, D).astype(jnp.uint32)   # t = b*P + r
     shifts = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[:, None, None]
@@ -252,12 +319,9 @@ def encode_stream(dense: jnp.ndarray, fmt: ChunkFormat) -> jnp.ndarray:
     C, D = fmt.chunk, fmt.dim
     keep = fmt.keep_stored
     *lead, _, _ = dense.shape
-    mag = jnp.abs(dense.astype(jnp.float32))
-    _, idx = jax.lax.top_k(jnp.where(dense != 0, mag, -1.0), keep)
-    idx = jnp.sort(idx, axis=-1)
-    vals = jnp.take_along_axis(dense, idx, axis=-1).astype(jnp.bfloat16)
-    bits = jnp.put_along_axis(jnp.zeros(dense.shape, jnp.int32), idx, 1,
-                              axis=-1, inplace=False)
+    mask = _stored_slots(dense, keep)
+    vals, bits = _compact_rows(dense, mask, keep)
+    vals = vals.astype(jnp.bfloat16)
     rows = []
     off = 0
     for k in fmt.segs:

@@ -107,6 +107,26 @@ def test_topk_mask_handles_ties():
     assert m.sum() == 3 and m[0, :3].all()
 
 
+def test_topk_mask_matches_stable_top_k():
+    """The bisection mask must reproduce jax.lax.top_k's stable selection
+    exactly (the layouts assume exact-count masks with lower-index ties),
+    including duplicated magnitudes and bf16 inputs."""
+    import jax
+    rng = np.random.RandomState(3)
+    dense = rng.randn(64, 128)
+    dense[rng.rand(*dense.shape) < 0.4] = 0
+    quant = np.round(rng.randn(64, 128) * 2) / 2          # many exact ties
+    for arr in (dense, quant):
+        for dt in (jnp.float32, jnp.bfloat16):
+            x = jnp.asarray(arr, dt)
+            for keep in (1, 40, 65, 127, 128):
+                _, idx = jax.lax.top_k(jnp.abs(x.astype(jnp.float32)), keep)
+                ref = np.zeros(x.shape, bool)
+                np.put_along_axis(ref, np.asarray(idx), True, axis=-1)
+                got = np.asarray(sf.topk_mask(x, keep))
+                np.testing.assert_array_equal(got, ref, err_msg=f"{dt} {keep}")
+
+
 def test_keep_count_matches_reference_rule():
     """keep == D - int(s*D) + 1, the reference kthvalue threshold survivor
     count (llama_mustafar_Kt_Mag_Vt_Mag.py:85-97)."""
