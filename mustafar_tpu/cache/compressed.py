@@ -88,6 +88,12 @@ class CompressedKVCache:
         # — lets the model's layer scan skip re-stacking them every token
         self.decode_invariant_keys = (("kv_pool",) if self.qcodec is None
                                       else ("kv_pool", "kv_scales"))
+        # the windows ARE written every step — thread them through the layer
+        # scan's carry (in-place per-layer updates) so the decode while_loop
+        # and the chunked-prefill segment scan alias them instead of copying
+        # a fresh ys restack back into their carries (models/llama.forward)
+        self.decode_carry_keys = ("k_win", "v_win")
+        self.segment_carry_keys = ("k_win", "v_win")
         # chunked-prefill segments write at most ONE chunk slot per layer —
         # keeping the pool out of the layer scan (staged rows + a single
         # post-scan update in finalize_segment) stops XLA from materializing

@@ -43,6 +43,11 @@ class DenseKVCache:
         # kernel at dense shapes on v5e (710 vs 923 us at B=32/S=1024), so the
         # kernel is opt-in (docs/PERFORMANCE.md).
         self.use_pallas = False if use_pallas is None else use_pallas
+        # decode appends one token per step into the full [L,B,S,Hkv,D]
+        # buffers — carry them through the layer scan (in-place updates) so
+        # the decode while_loop aliases them instead of copying a fresh ys
+        # restack back into its carry every token (models/llama.forward)
+        self.decode_carry_keys = ("k", "v")
 
     # -- state ------------------------------------------------------------
     def init(self, batch: int, dtype=jnp.bfloat16) -> dict:

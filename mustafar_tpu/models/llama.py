@@ -134,21 +134,46 @@ def forward(cfg: ModelConfig, params: dict, tokens: jnp.ndarray, cache: Any,
     # them from the layer-scan output stops XLA from re-stacking the full
     # pool (measured ~0.77 ms/step decode copy; a second 5.58 GiB pool
     # buffer at 32k-ctx prefill).
+    #
+    # Keys the step DOES write (KV windows / dense KV buffers) are threaded
+    # through the scan CARRY with per-layer dynamic slice/update instead of
+    # being scanned as xs and restacked as ys: a scan ys output is a fresh
+    # buffer, so the enclosing decode while_loop must copy it back into its
+    # carry every token (measured 2 x 0.9 ms/step on the [16,32,288,8,128]
+    # windows at the bench shape); a carry updated in place aliases end to
+    # end through the loop.
     if mode == "decode":
         inv_keys = tuple(getattr(cache_impl, "decode_invariant_keys", ()))
+        carry_keys = tuple(getattr(cache_impl, "decode_carry_keys", ()))
     elif mode == "prefill_segment":
         inv_keys = tuple(getattr(cache_impl, "segment_invariant_keys", ()))
+        carry_keys = tuple(getattr(cache_impl, "segment_carry_keys", ()))
     else:
-        inv_keys = ()
+        inv_keys = carry_keys = ()
+    carried = {k: cache[k] for k in carry_keys}
+    xs_cache = {k: v for k, v in cache.items() if k not in carry_keys}
+    L = cfg.num_layers
 
-    def body(x, layer_in):
-        lp, lc = layer_in
+    def body(carry, layer_in):
+        x, carried = carry
+        li, lp, lc = layer_in
+        if carry_keys:
+            lc = dict(lc, **{k: jax.lax.dynamic_index_in_dim(
+                carried[k], li, 0, keepdims=False) for k in carry_keys})
         x, lc = _layer(cfg, lp, x, cos, sin, attend, lc)
+        if carry_keys:
+            lc = dict(lc)
+            carried = {k: jax.lax.dynamic_update_index_in_dim(
+                carried[k], lc.pop(k).astype(carried[k].dtype), li, 0)
+                for k in carry_keys}
         if inv_keys:
             lc = {k: v for k, v in lc.items() if k not in inv_keys}
-        return x, lc
+        return (x, carried), lc
 
-    x, new_cache = jax.lax.scan(body, x, (params["layers"], cache))
+    (x, carried), new_cache = jax.lax.scan(
+        body, (x, carried),
+        (jnp.arange(L, dtype=jnp.int32), params["layers"], xs_cache))
+    new_cache = dict(new_cache, **carried)
     if inv_keys:
         new_cache = dict(new_cache, **{k: cache[k] for k in inv_keys})
     if mode == "prefill_segment" and hasattr(cache_impl, "finalize_segment"):
