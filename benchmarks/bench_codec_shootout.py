@@ -68,8 +68,8 @@ def run_depth(mc, nact, iters):
     S = nact * C + WIN_LEN
 
     q = jnp.asarray(rs.randn(B, 1, Hkv * G, D) * 0.1, jnp.bfloat16)
-    k_win = jnp.asarray(rs.randn(B, W, Hkv, D) * 0.1, jnp.bfloat16)
-    v_win = jnp.asarray(rs.randn(B, W, Hkv, D) * 0.1, jnp.bfloat16)
+    k_win = jnp.asarray(rs.randn(B, Hkv, W, D) * 0.1, jnp.bfloat16)
+    v_win = jnp.asarray(rs.randn(B, Hkv, W, D) * 0.1, jnp.bfloat16)
 
     # big buffers are ARGUMENTS, not jit closures — captured multi-hundred-MB
     # arrays are baked into the program and fail remote compile (HTTP 413)

@@ -58,8 +58,8 @@ def run_config(name, mc, nact, win_len, check=False):
             jnp.asarray(rs.randn(mc, BH, 2 * fmt.stream_rows, 128) * 0.1,
                         jnp.bfloat16), jnp.int16)
         pruned_np = None
-    k_win = jnp.asarray(rs.randn(B, W, Hkv, D) * 0.1, jnp.bfloat16)
-    v_win = jnp.asarray(rs.randn(B, W, Hkv, D) * 0.1, jnp.bfloat16)
+    k_win = jnp.asarray(rs.randn(B, Hkv, W, D) * 0.1, jnp.bfloat16)
+    v_win = jnp.asarray(rs.randn(B, Hkv, W, D) * 0.1, jnp.bfloat16)
     q = jnp.asarray(rs.randn(B, 1, Hkv * G, D) * 0.1, jnp.bfloat16)
     nc, wl = jnp.int32(nact), jnp.int32(win_len)
 
@@ -82,8 +82,8 @@ def run_config(name, mc, nact, win_len, check=False):
     if check and pruned_np is not None:
         out = np.asarray(sparse_fn(q, nc, wl), np.float32)
         pool_d = pruned_np.reshape(B, Hkv, mc, C, D)[:, :, :nact].reshape(B, Hkv, nact * C, D)
-        kwf = np.asarray(k_win, np.float32).transpose(0, 2, 1, 3)[:, :, :win_len]
-        vwf = np.asarray(v_win, np.float32).transpose(0, 2, 1, 3)[:, :, :win_len]
+        kwf = np.asarray(k_win, np.float32)[:, :, :win_len]
+        vwf = np.asarray(v_win, np.float32)[:, :, :win_len]
         kk = np.concatenate([pool_d, kwf], axis=2)
         vv = np.concatenate([pool_d, vwf], axis=2)
         qf = np.asarray(q, np.float32)[:, 0].reshape(B, Hkv, G, D)

@@ -14,8 +14,20 @@ state is a fixed set of static-shape arrays threaded through the jitted step
   so a dp x tp mesh shards them independently (P(.., "data", "model", ..));
   the kernels see the b-major flattened [max_chunks, B*Hkv, ROWS, 128] view
   (a free reshape, taken per shard inside shard_map when a mesh is set)
-  k_win / v_win [B, Wcap, Hkv, D]         bf16     dense window, Wcap = r + C
+  k_win / v_win [B, Hkv, Wcap, D]         bf16     dense window, Wcap = r + C
+                                                   (head-major so the kernel
+                                                   [BH, W, D] view is a free
+                                                   reshape, not a transpose)
   n_chunks      int32                              active chunks (uniform)
+
+Decode and chunked-prefill segments use the STACKED protocol
+(models/llama.forward): the big buffers are never sliced per layer — the
+Pallas kernels DMA directly from the full [L, ...] state at a
+scalar-prefetched layer index, and the per-step window write is a one-token
+dynamic_update_slice on the scan-carried stacked buffer.  (A per-layer
+dynamic-slice feeding a pallas_call cannot fuse — XLA materializes the
+whole slice in HBM: measured 0.157 ms/layer for the pool and ~0.24 ms/layer
+for the windows at the bench shape, ~60% of the non-matmul step cost.)
 
 Semantics (matching llama_mustafar_kernel.py):
   * prefill: flash attention over dense K/V; then the first
@@ -84,22 +96,20 @@ class CompressedKVCache:
         # set by the runtime/tests to run the kernel head-local on a device
         # mesh (parallel.sharding.shard_headlocal_attend); None = single-device
         self.mesh = None
-        # decode never writes the pools (compaction is a separate jitted path)
-        # — lets the model's layer scan skip re-stacking them every token
-        self.decode_invariant_keys = (("kv_pool",) if self.qcodec is None
-                                      else ("kv_pool", "kv_scales"))
-        # the windows ARE written every step — thread them through the layer
-        # scan's carry (in-place per-layer updates) so the decode while_loop
-        # and the chunked-prefill segment scan alias them instead of copying
-        # a fresh ys restack back into their carries (models/llama.forward)
-        self.decode_carry_keys = ("k_win", "v_win")
-        self.segment_carry_keys = ("k_win", "v_win")
-        # chunked-prefill segments write at most ONE chunk slot per layer —
-        # keeping the pool out of the layer scan (staged rows + a single
-        # post-scan update in finalize_segment) stops XLA from materializing
-        # a second full pool as the scan's stacked output (measured 5.58 GiB
-        # extra at 32k ctx, the difference between OOM and serving)
-        self.segment_invariant_keys = self.decode_invariant_keys
+        # STACKED protocol (models/llama.forward): ro keys are read whole by
+        # attend at a layer index (decode never writes the pools — compaction
+        # is a separate jitted path; a segment's single-chunk pack is staged
+        # and applied post-scan by finalize_segment, keeping a second full
+        # pool from materializing — 5.58 GiB at 32k ctx, OOM vs serving);
+        # rw keys (the windows) are carried whole and updated in place.
+        pools = (("kv_pool",) if self.qcodec is None
+                 else ("kv_pool", "kv_scales"))
+        self.decode_stacked_ro = pools
+        self.decode_stacked_rw = ("k_win", "v_win")
+        self.segment_stacked_ro = pools
+        self.segment_stacked_rw = ("k_win", "v_win")
+        # compact()/compact_slots() still scan per layer; pools stay out
+        self.segment_invariant_keys = pools
 
     # -- state ------------------------------------------------------------
     def init(self, batch: int, dtype=jnp.bfloat16) -> dict:
@@ -108,8 +118,8 @@ class CompressedKVCache:
         rows = (self.qcodec.stream_rows if self.qcodec is not None
                 else self.kfmt.stream_rows + self.vfmt.stream_rows)
         state = {
-            "k_win": jnp.zeros((m.num_layers, batch, self.wcap, m.num_kv_heads, m.head_dim), dtype),
-            "v_win": jnp.zeros((m.num_layers, batch, self.wcap, m.num_kv_heads, m.head_dim), dtype),
+            "k_win": jnp.zeros((m.num_layers, batch, m.num_kv_heads, self.wcap, m.head_dim), dtype),
+            "v_win": jnp.zeros((m.num_layers, batch, m.num_kv_heads, self.wcap, m.head_dim), dtype),
             "n_chunks": jnp.zeros((m.num_layers, batch), jnp.int32),
             "kv_pool": jnp.zeros((m.num_layers, mc, batch, m.num_kv_heads,
                                   rows, 128), jnp.int16),
@@ -134,6 +144,25 @@ class CompressedKVCache:
         r = s6.reshape(mc, B * H, 2, D)
         return r[:, :, 0], r[:, :, 1]
 
+    def _pool_bh7(self, pool7):
+        """Stacked pool [L, mc, B, Hkv, ROWS, 128] -> kernel view
+        [L, mc, B*Hkv, ROWS, 128] (b-major, free reshape)."""
+        L, mc, B, H, R, lanes = pool7.shape
+        return pool7.reshape(L, mc, B * H, R, lanes)
+
+    def _scales_bh7(self, s7):
+        """Stacked scales [L, mc, B, Hkv, 2, D] -> kernel views
+        (kscales, vscales) each [L, mc, B*Hkv, D]."""
+        L, mc, B, H, _, D = s7.shape
+        r = s7.reshape(L, mc, B * H, 2, D)
+        return r[:, :, :, 0], r[:, :, :, 1]
+
+    def _win_bh(self, win5):
+        """Stacked window [L, B, Hkv, W, D] -> kernel view [L, B*Hkv, W, D]
+        (free reshape)."""
+        L, B, H, W, D = win5.shape
+        return win5.reshape(L, B * H, W, D)
+
     def insert_slot(self, cache: dict, sub: dict, slot) -> dict:
         """Insert a batch-1 compressed cache into batch slot ``slot``."""
         out = dict(cache)
@@ -153,28 +182,29 @@ class CompressedKVCache:
         return out
 
     # -- packing ----------------------------------------------------------
-    def _pack_chunk(self, dense_bthd: jnp.ndarray, fmt: sf.ChunkFormat):
-        """dense [B, C, Hkv, D] -> fused-stream rows [BH, stream_rows, 128]."""
-        B, C, H, D = dense_bthd.shape
-        x = jnp.transpose(dense_bthd, (0, 2, 1, 3)).reshape(B * H, C, D)
+    def _pack_chunk(self, dense_bhtd: jnp.ndarray, fmt: sf.ChunkFormat):
+        """dense [B, Hkv, C, D] -> fused-stream rows [BH, stream_rows, 128]."""
+        B, H, C, D = dense_bhtd.shape
+        x = dense_bhtd.reshape(B * H, C, D)                     # free reshape
         return sf.prune_and_encode_stream(x.astype(jnp.bfloat16), fmt)
 
-    def _pack_chunk_q(self, dense_bthd: jnp.ndarray, kind: str):
-        """Quant codec: dense [B, C, Hkv, D] -> (rows [BH, R, 128] int16,
+    def _pack_chunk_q(self, dense_bhtd: jnp.ndarray, kind: str):
+        """Quant codec: dense [B, Hkv, C, D] -> (rows [BH, R, 128] int16,
         scales [BH, D] bf16).  Prune first (same top-k rule as the bitmap
         path), then quantize the survivors (ops/quant_format.py)."""
         from mustafar_tpu.ops import quant_format as qf
-        B, C, H, D = dense_bthd.shape
-        x = jnp.transpose(dense_bthd, (0, 2, 1, 3)).reshape(B * H, C, D)
+        B, H, C, D = dense_bhtd.shape
+        x = dense_bhtd.reshape(B * H, C, D)                     # free reshape
         x = x.astype(jnp.bfloat16)
         keep = self.k_keep if kind == "k" else self.v_keep
         pruned = jnp.where(sf.topk_mask(x, keep), x, 0).astype(jnp.bfloat16)
         return qf.encode_chunk(pruned, self.qcodec, kind)
 
     def _pack_rows_scales(self, k_chunk, v_chunk):
-        """Prune+pack K and V chunks ([B, C, Hkv, D]) with the active codec.
-        Returns (rows6 [B, Hkv, ROWS, 128], scales6 [B, Hkv, 2, D] | None)."""
-        B, _, Hkv, _ = k_chunk.shape
+        """Prune+pack K and V chunks ([B, Hkv, C, D], head-major) with the
+        active codec.  Returns (rows6 [B, Hkv, ROWS, 128],
+        scales6 [B, Hkv, 2, D] | None)."""
+        B, Hkv = k_chunk.shape[:2]
         if self.qcodec is None:
             k_rows = self._pack_chunk(k_chunk, self.kfmt)
             v_rows = self._pack_chunk(v_chunk, self.vfmt)
@@ -188,7 +218,7 @@ class CompressedKVCache:
         return rows.reshape(B, Hkv, *rows.shape[1:]), scales6
 
     def _append_chunk(self, lc, chunk_idx, k_chunk, v_chunk):
-        """Prune+pack one dense chunk ([B, C, Hkv, D]) into pool slot chunk_idx."""
+        """Prune+pack one dense chunk ([B, Hkv, C, D]) into pool slot chunk_idx."""
         rows6, scales6 = self._pack_rows_scales(k_chunk, v_chunk)
         lc["kv_pool"] = jax.lax.dynamic_update_slice(
             lc["kv_pool"], rows6[None], (chunk_idx, 0, 0, 0, 0))
@@ -238,11 +268,13 @@ class CompressedKVCache:
         comp_len = jnp.maximum(true_len - r, 0) // C * C       # reference :416
         n_pre = comp_len // C
         max_pre = T // C
+        kh = jnp.swapaxes(k, 1, 2)                              # [B, Hkv, T, D]
+        vh = jnp.swapaxes(v, 1, 2)
 
         def body(i, lc):
             start = i * C
-            k_chunk = jax.lax.dynamic_slice_in_dim(k, start, C, axis=1)
-            v_chunk = jax.lax.dynamic_slice_in_dim(v, start, C, axis=1)
+            k_chunk = jax.lax.dynamic_slice_in_dim(kh, start, C, axis=2)
+            v_chunk = jax.lax.dynamic_slice_in_dim(vh, start, C, axis=2)
             return jax.lax.cond(i < n_pre,
                                 lambda lc: self._append_chunk(lc, i, k_chunk, v_chunk),
                                 lambda lc: lc, lc)
@@ -254,16 +286,16 @@ class CompressedKVCache:
 
         # window <- tokens [comp_len, true_len); length in [r, r+C)
         idx = comp_len + jnp.arange(self.wcap)
-        take = jnp.minimum(idx, T - 1)[None, :, None, None]
-        win_rows_k = jnp.take_along_axis(k, take, axis=1)
-        win_rows_v = jnp.take_along_axis(v, take, axis=1)
-        valid = (idx < true_len)[None, :, None, None]
+        take = jnp.minimum(idx, T - 1)[None, None, :, None]
+        win_rows_k = jnp.take_along_axis(kh, take, axis=2)
+        win_rows_v = jnp.take_along_axis(vh, take, axis=2)
+        valid = (idx < true_len)[None, None, :, None]
         lc["k_win"] = jnp.where(valid, win_rows_k, 0).astype(lc["k_win"].dtype)
         lc["v_win"] = jnp.where(valid, win_rows_v, 0).astype(lc["v_win"].dtype)
         return out, lc
 
     # -- chunked prefill --------------------------------------------------
-    def segment_attend(self, lc, q, k, v, seg_start, true_len):
+    def segment_attend(self, lc, q, k, v, seg_start, true_len, full, li):
         """Chunked-prefill step: one C-token segment attends to
         (packed pools ++ dense window ++ causal self) and is absorbed into
         the cache state.
@@ -274,6 +306,11 @@ class CompressedKVCache:
         O(C), which is what unlocks long-context prefill on one chip.  The
         accuracy delta of pruned-past prefill is measurable through the
         harness (cli accuracy).
+
+        STACKED protocol: ``full`` holds the whole [L, ...] pools (read-only)
+        and windows (read-write); ``li`` is this layer's index.  The q8q4
+        kernel DMAs the pools at li directly — no per-layer pool slice is
+        materialized.  Returns (out, lc, window updates).
 
         Invariants with seg_start = s*C: on entry n_chunks = max(0, s-1) and
         the window holds tokens [n_chunks*C, seg_start) (length 0 or C); on
@@ -288,41 +325,51 @@ class CompressedKVCache:
         assert Tseg == C, (Tseg, C)
         nc = lc["n_chunks"][0]
         wl = seg_start - nc * C                                  # 0 or C
+        kwin = jax.lax.dynamic_index_in_dim(full["k_win"], li, 0,
+                                            keepdims=False)     # [B,Hkv,W,D]
+        vwin = jax.lax.dynamic_index_in_dim(full["v_win"], li, 0,
+                                            keepdims=False)
 
         # --- pools partials ---
         if self.use_pallas:
             from jax.sharding import PartitionSpec as P
             qspec = P("data", None, "model", None)
-            pspec = P(None, "data", "model", None, None)
             if self.qcodec is not None:
                 from mustafar_tpu.ops.kernels import quant_attention as qa
-                call = lambda q_, pool6_, s6_, nc_, ss_: \
+                call = lambda q_, pool7_, s7_, nc_, ss_, li_: \
                     qa.fused_q_segment_attention(
-                        q_, self._pool_bh(pool6_), *self._scales_bh(s6_),
-                        nc_, ss_, self.qcodec, self.max_chunks,
+                        q_, self._pool_bh7(pool7_), *self._scales_bh7(s7_),
+                        nc_, ss_, self.qcodec, self.max_chunks, li=li_,
                         window=self.window)
                 if self.mesh is not None:
+                    pspec7 = P(None, None, "data", "model", None, None)
                     call = jax.shard_map(
                         call, mesh=self.mesh,
-                        in_specs=(qspec, pspec,
-                                  P(None, "data", "model", None, None),
-                                  P(), P()),
+                        in_specs=(qspec, pspec7, pspec7, P(), P(), P()),
                         out_specs=(qspec, qspec, qspec), check_vma=False)
-                p_pool = call(q, lc["kv_pool"], lc["kv_scales"], nc, seg_start)
+                p_pool = call(q, full["kv_pool"], full["kv_scales"], nc,
+                              seg_start, li)
             else:
                 from mustafar_tpu.ops.kernels import sparse_attention as ska
+                pool6 = jax.lax.dynamic_index_in_dim(full["kv_pool"], li, 0,
+                                                     keepdims=False)
                 call = lambda q_, pool6_, nc_, ss_: \
                     ska.fused_sparse_segment_attention(
                         q_, self._pool_bh(pool6_), nc_, ss_, self.kfmt,
                         self.vfmt, self.max_chunks, window=self.window)
                 if self.mesh is not None:
+                    pspec = P(None, "data", "model", None, None)
                     call = jax.shard_map(
                         call, mesh=self.mesh,
                         in_specs=(qspec, pspec, P(), P()),
                         out_specs=(qspec, qspec, qspec), check_vma=False)
-                p_pool = call(q, lc["kv_pool"], nc, seg_start)
+                p_pool = call(q, pool6, nc, seg_start)
         else:
-            p_pool = self._segment_pool_partials_xla(lc, q, nc, seg_start)
+            lc_xla = dict(lc)
+            for key in self.segment_stacked_ro:
+                lc_xla[key] = jax.lax.dynamic_index_in_dim(full[key], li, 0,
+                                                           keepdims=False)
+            p_pool = self._segment_pool_partials_xla(lc_xla, q, nc, seg_start)
 
         # --- window partials (all window tokens precede the segment) ---
         S = self.wcap
@@ -331,7 +378,7 @@ class CompressedKVCache:
         wmask = (jnp.arange(S) < wl)[None, :] & jnp.ones((Tseg, 1), bool)
         if self.window is not None:
             wmask &= wpos[None, :] > (qpos[:, None] - self.window)
-        p_win = attention_partials(q, lc["k_win"], lc["v_win"], wmask)
+        p_win = attention_partials(q, kwin, vwin, wmask, head_major=True)
 
         # --- causal self partials ---
         smask = jnp.arange(Tseg)[None, :] <= jnp.arange(Tseg)[:, None]
@@ -352,28 +399,31 @@ class CompressedKVCache:
         # stage the pack of the current window's C tokens; finalize_segment
         # applies it to pool slot nc AFTER the layer scan (one fused update
         # across layers, pool stays scan-invariant — see __init__ note)
-        new6, scales6 = self._pack_rows_scales(lc["k_win"][:, :C],
-                                               lc["v_win"][:, :C])
-        lc["_seg_rows"] = new6.astype(lc["kv_pool"].dtype)
+        new6, scales6 = self._pack_rows_scales(kwin[:, :, :C], vwin[:, :, :C])
+        lc["_seg_rows"] = new6.astype(full["kv_pool"].dtype)
         if scales6 is not None:
-            lc["_seg_scales"] = scales6.astype(lc["kv_scales"].dtype)
+            lc["_seg_scales"] = scales6.astype(full["kv_scales"].dtype)
 
         # rebuild the window from [old window ++ segment] shifted by the pack
-        seg_rows = (jnp.arange(C) < seg_valid)[None, :, None, None]
-        for key, seg_kv in (("k_win", k), ("v_win", v)):
-            old = jnp.where((jnp.arange(self.wcap) < wl)[None, :, None, None],
-                            lc[key], 0)
+        upd = {}
+        seg_rows = (jnp.arange(C) < seg_valid)[None, None, :, None]
+        for key, win, seg_kv in (("k_win", kwin, k), ("v_win", vwin, v)):
+            old = jnp.where(
+                (jnp.arange(self.wcap) < wl)[None, None, :, None], win, 0)
             # C + wcap rows so the post-pack slice [C, C + wcap) never clamps
             tmp = jnp.concatenate(
-                [old, jnp.zeros((B, C, Hkv, D), old.dtype)], axis=1)
+                [old, jnp.zeros((B, Hkv, C, D), old.dtype)], axis=2)
+            seg_h = jnp.swapaxes(seg_kv, 1, 2)                  # [B,Hkv,C,D]
             tmp = jax.lax.dynamic_update_slice(
-                tmp, jnp.where(seg_rows, seg_kv, 0).astype(tmp.dtype),
-                (0, wl, 0, 0))
-            lc[key] = jax.lax.dynamic_slice(
-                tmp, (0, do_pack.astype(jnp.int32) * C, 0, 0),
-                (B, self.wcap, Hkv, D))
+                tmp, jnp.where(seg_rows, seg_h, 0).astype(tmp.dtype),
+                (0, 0, wl, 0))
+            new_win = jax.lax.dynamic_slice(
+                tmp, (0, 0, do_pack.astype(jnp.int32) * C, 0),
+                (B, Hkv, self.wcap, D))
+            upd[key] = jax.lax.dynamic_update_index_in_dim(
+                full[key], new_win.astype(full[key].dtype), li, 0)
         lc["n_chunks"] = jnp.full((B,), nc_after, jnp.int32)
-        return out, lc
+        return out, lc, upd
 
     def finalize_segment(self, old_cache: dict, new_cache: dict) -> dict:
         """Apply a segment's staged chunk pack to the stacked [L, ...] cache.
@@ -419,14 +469,34 @@ class CompressedKVCache:
         return attention_partials(q, k_dense, v_dense, mask)
 
     # -- decode -----------------------------------------------------------
-    def decode_attend(self, lc, q, k, v, pos):
+    def decode_attend(self, lc, q, k, v, pos, full=None, li=None):
         """q [B,1,Hq,D]; appends k/v (1 token) and attends pools + window.
+
+        STACKED protocol: ``full`` holds the whole [L, ...] pools (read-only)
+        and windows (read-write); ``li`` is this layer's index.  The token
+        append is a one-token dynamic_update_slice on the stacked window (the
+        scan carry aliases it in place) and the q8q4 kernel DMAs pools and
+        windows at li directly — nothing layer-sized is materialized.
+        Returns (out, lc, window updates).
+
+        Per-layer convenience (full=None, unit tests): lc holds the layer's
+        own pools/windows; returns (out, lc) with the updates folded back in.
 
         pos: scalar int32 (uniform batch) or [B] (per-slot continuous
         batching; per-slot chunk counts, window lengths, and compaction)."""
+        if full is None:
+            keys = self.decode_stacked_ro + self.decode_stacked_rw
+            full1 = {key: lc[key][None] for key in keys}
+            out, lc2, upd = self.decode_attend(
+                {key: val for key, val in lc.items() if key not in keys},
+                q, k, v, pos, full1, jnp.int32(0))
+            lc2 = dict(lc2, **{key: lc[key] for key in self.decode_stacked_ro})
+            lc2.update({key: val[0] for key, val in upd.items()})
+            return out, lc2
         pos = jnp.asarray(pos)
         if pos.ndim > 0:
-            return self._decode_attend_per_slot(dict(lc), q, k, v, pos)
+            return self._decode_attend_per_slot(dict(lc), q, k, v, pos,
+                                                full, li)
         lc = dict(lc)
         B, _, Hq, D = q.shape
         Hkv = self.model.num_kv_heads
@@ -435,27 +505,35 @@ class CompressedKVCache:
         comp_len = n_chunks * C
         win_len = pos + 1 - comp_len                            # incl. new token
 
-        lc["k_win"] = jax.lax.dynamic_update_slice_in_dim(
-            lc["k_win"], k.astype(lc["k_win"].dtype), win_len - 1, axis=1)
-        lc["v_win"] = jax.lax.dynamic_update_slice_in_dim(
-            lc["v_win"], v.astype(lc["v_win"].dtype), win_len - 1, axis=1)
+        upd = {}
+        for key, tok in (("k_win", k), ("v_win", v)):
+            upd[key] = jax.lax.dynamic_update_slice(
+                full[key], jnp.swapaxes(tok, 1, 2)[None].astype(full[key].dtype),
+                (li, 0, 0, win_len - 1, 0))
 
         if self.use_pallas:
             if self.qcodec is not None:
                 from mustafar_tpu.ops.kernels import quant_attention as qa
-                call = lambda q_, pool6_, s6_, kw_, vw_, nc_, wl_: \
+                call = lambda q_, pool7_, s7_, kw5_, vw5_, nc_, wl_, li_: \
                     qa.fused_q_decode_attention(
-                        q_, self._pool_bh(pool6_), *self._scales_bh(s6_),
-                        kw_, vw_, nc_, wl_, self.qcodec, self.max_chunks,
+                        q_, self._pool_bh7(pool7_), *self._scales_bh7(s7_),
+                        self._win_bh(kw5_), self._win_bh(vw5_), nc_, wl_,
+                        self.qcodec, self.max_chunks, li=li_,
                         window=self.window)
                 if self.mesh is not None:
                     from mustafar_tpu.parallel import sharding as sh
                     call = sh.shard_headlocal_attend(call, self.mesh,
-                                                     quant=True)
-                out = call(q, lc["kv_pool"], lc["kv_scales"], lc["k_win"],
-                           lc["v_win"], n_chunks, win_len)
+                                                     quant=True, stacked=True)
+                out = call(q, full["kv_pool"], full["kv_scales"],
+                           upd["k_win"], upd["v_win"], n_chunks, win_len, li)
             else:
                 from mustafar_tpu.ops.kernels import sparse_attention as ska
+                pool6 = jax.lax.dynamic_index_in_dim(full["kv_pool"], li, 0,
+                                                     keepdims=False)
+                kw = jax.lax.dynamic_index_in_dim(upd["k_win"], li, 0,
+                                                  keepdims=False)
+                vw = jax.lax.dynamic_index_in_dim(upd["v_win"], li, 0,
+                                                  keepdims=False)
                 call = lambda q_, pool6_, kw_, vw_, nc_, wl_: \
                     ska.fused_sparse_decode_attention_v7(
                         q_, self._pool_bh(pool6_), kw_, vw_, nc_, wl_,
@@ -464,18 +542,30 @@ class CompressedKVCache:
                 if self.mesh is not None:
                     from mustafar_tpu.parallel import sharding as sh
                     call = sh.shard_headlocal_attend(call, self.mesh)
-                out = call(q, lc["kv_pool"], lc["k_win"], lc["v_win"],
-                           n_chunks, win_len)
+                out = call(q, pool6, kw, vw, n_chunks, win_len)
         else:
-            out = self._decode_attend_xla(lc, q, n_chunks, win_len, B, Hkv, D)
+            lc_xla = self._lc_xla(lc, upd, full, li)
+            out = self._decode_attend_xla(lc_xla, q, n_chunks, win_len,
+                                          B, Hkv, D)
         # NOTE: compaction is NOT performed here.  XLA:TPU executes BOTH
         # branches of lax.cond and selects (measured 16.7 ms/layer/step of
         # dead packing work), so callers invoke ``compact_layer`` /
         # ``compact_slots`` explicitly at the (host-predictable) boundary:
         # a compact is due after the step where needs_compact(pos+1) holds.
-        return out, lc
+        return out, lc, upd
 
-    def _decode_attend_per_slot(self, lc, q, k, v, pos):
+    def _lc_xla(self, lc, upd, full, li):
+        """Per-layer view of the stacked state for the XLA fallback paths."""
+        lc_xla = dict(lc)
+        for key in self.decode_stacked_ro:
+            lc_xla[key] = jax.lax.dynamic_index_in_dim(full[key], li, 0,
+                                                       keepdims=False)
+        for key in self.decode_stacked_rw:
+            lc_xla[key] = jax.lax.dynamic_index_in_dim(upd[key], li, 0,
+                                                       keepdims=False)
+        return lc_xla
+
+    def _decode_attend_per_slot(self, lc, q, k, v, pos, full, li):
         """Per-slot decode: pos [B]; n_chunks [B]; vectorized compaction."""
         B, _, Hq, D = q.shape
         Hkv = self.model.num_kv_heads
@@ -485,27 +575,32 @@ class CompressedKVCache:
         win_len = pos + 1 - nc * C                              # [B]
         bidx = jnp.arange(B)
 
-        lc["k_win"] = lc["k_win"].at[bidx, win_len - 1].set(
-            k[:, 0].astype(lc["k_win"].dtype))
-        lc["v_win"] = lc["v_win"].at[bidx, win_len - 1].set(
-            v[:, 0].astype(lc["v_win"].dtype))
+        upd = {}
+        for key, tok in (("k_win", k), ("v_win", v)):
+            upd[key] = full[key].at[li, bidx, :, win_len - 1].set(
+                tok[:, 0].astype(full[key].dtype))
+        kw = jax.lax.dynamic_index_in_dim(upd["k_win"], li, 0, keepdims=False)
+        vw = jax.lax.dynamic_index_in_dim(upd["v_win"], li, 0, keepdims=False)
 
         if self.use_pallas and Hkv in (8, 16):
             if self.qcodec is not None:
                 from mustafar_tpu.ops.kernels import quant_attention as qa
-                call = lambda q_, pool6_, s6_, kw_, vw_, nc_, wl_: \
+                call = lambda q_, pool7_, s7_, kw_, vw_, nc_, wl_, li_: \
                     qa.fused_q_decode_attention_ps(
-                        q_, self._pool_bh(pool6_), *self._scales_bh(s6_),
-                        kw_, vw_, nc_, wl_, self.qcodec, mc,
+                        q_, self._pool_bh7(pool7_), *self._scales_bh7(s7_),
+                        kw_, vw_, nc_, wl_, self.qcodec, mc, li=li_,
                         window=self.window)
                 if self.mesh is not None:
                     from mustafar_tpu.parallel import sharding as sh
-                    call = sh.shard_headlocal_attend(call, self.mesh,
-                                                     per_slot=True, quant=True)
-                out = call(q, lc["kv_pool"], lc["kv_scales"], lc["k_win"],
-                           lc["v_win"], nc, win_len)
+                    call = sh.shard_headlocal_attend(
+                        call, self.mesh, per_slot=True, quant=True,
+                        stacked=True)
+                out = call(q, full["kv_pool"], full["kv_scales"], kw, vw,
+                           nc, win_len, li)
             else:
                 from mustafar_tpu.ops.kernels import sparse_attention as ska
+                pool6 = jax.lax.dynamic_index_in_dim(full["kv_pool"], li, 0,
+                                                     keepdims=False)
                 call = lambda q_, pool6_, kw_, vw_, nc_, wl_: \
                     ska.fused_sparse_decode_attention_v6ps(
                         q_, self._pool_bh(pool6_), kw_, vw_, nc_, wl_,
@@ -514,13 +609,13 @@ class CompressedKVCache:
                     from mustafar_tpu.parallel import sharding as sh
                     call = sh.shard_headlocal_attend(call, self.mesh,
                                                      per_slot=True)
-                out = call(q, lc["kv_pool"], lc["k_win"], lc["v_win"], nc,
-                           win_len)
+                out = call(q, pool6, kw, vw, nc, win_len)
         else:
-            out = self._decode_attend_xla(lc, q, nc, win_len, B, Hkv, D)
+            lc_xla = self._lc_xla(lc, upd, full, li)
+            out = self._decode_attend_xla(lc_xla, q, nc, win_len, B, Hkv, D)
 
         # compaction deferred to compact_slots (see decode_attend note)
-        return out, lc
+        return out, lc, upd
 
     def needs_compact(self, total: int) -> bool:
         """True when a sequence of ``total`` tokens has a full r+C window
@@ -534,12 +629,14 @@ class CompressedKVCache:
         C = self.C
         lc = dict(lc)
         n_chunks = lc["n_chunks"][0]
-        lc = self._append_chunk(lc, n_chunks, lc["k_win"][:, :C],
-                                lc["v_win"][:, :C])
+        lc = self._append_chunk(lc, n_chunks, lc["k_win"][:, :, :C],
+                                lc["v_win"][:, :, :C])
         lc["k_win"] = jnp.concatenate(
-            [lc["k_win"][:, C:], jnp.zeros_like(lc["k_win"][:, :C])], axis=1)
+            [lc["k_win"][:, :, C:], jnp.zeros_like(lc["k_win"][:, :, :C])],
+            axis=2)
         lc["v_win"] = jnp.concatenate(
-            [lc["v_win"][:, C:], jnp.zeros_like(lc["v_win"][:, :C])], axis=1)
+            [lc["v_win"][:, :, C:], jnp.zeros_like(lc["v_win"][:, :, :C])],
+            axis=2)
         lc["n_chunks"] = lc["n_chunks"] + 1
         return lc
 
@@ -556,14 +653,15 @@ class CompressedKVCache:
                 if k not in self.segment_invariant_keys}
 
         def one(_, lc):
-            new6, scales6 = self._pack_rows_scales(lc["k_win"][:, :C],
-                                                   lc["v_win"][:, :C])
+            new6, scales6 = self._pack_rows_scales(lc["k_win"][:, :, :C],
+                                                   lc["v_win"][:, :, :C])
             out = {"n_chunks": lc["n_chunks"] + do_i32, "_rows": new6}
             if scales6 is not None:
                 out["_scales"] = scales6
             for key in ("k_win", "v_win"):
                 shifted = jnp.concatenate(
-                    [lc[key][:, C:], jnp.zeros_like(lc[key][:, :C])], axis=1)
+                    [lc[key][:, :, C:], jnp.zeros_like(lc[key][:, :, :C])],
+                    axis=2)
                 out[key] = jnp.where(sel, shifted, lc[key])
             return 0, out
 
@@ -640,7 +738,7 @@ class CompressedKVCache:
             low = nc_b * self.C + wl_b - 1 - self.window
             comp_valid &= jnp.arange(S)[None, None, None, :] > low
         s_comp = jnp.where(comp_valid, s_comp, NEG_INF)
-        kw = jnp.transpose(lc["k_win"], (0, 2, 1, 3))            # [B,Hkv,W,D]
+        kw = lc["k_win"]                                         # [B,Hkv,W,D]
         s_win = jnp.einsum("bhgd,bhwd->bhgw", qg, kw,
                            preferred_element_type=jnp.float32) * scale
         s_win = jnp.where(jnp.arange(self.wcap)[None, None, None, :] < wl_b,
@@ -648,7 +746,7 @@ class CompressedKVCache:
         logits = jnp.concatenate([s_comp, s_win], axis=-1)
         w = jax.nn.softmax(logits, axis=-1)
         w_comp, w_win = w[..., :S], w[..., S:]
-        vw = jnp.transpose(lc["v_win"], (0, 2, 1, 3))
+        vw = lc["v_win"]
         out = (jnp.einsum("bhgs,bhsd->bhgd", w_comp.astype(v_dense.dtype), v_dense,
                           preferred_element_type=jnp.float32)
                + jnp.einsum("bhgw,bhwd->bhgd", w_win.astype(vw.dtype), vw,

@@ -116,56 +116,88 @@ def forward(cfg: ModelConfig, params: dict, tokens: jnp.ndarray, cache: Any,
     x = params["embed"][tokens]
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
 
+    # Three cache-threading mechanisms, chosen by the cache impl per mode:
+    #
+    # * STACKED protocol (<mode>_stacked_ro / <mode>_stacked_rw): the big
+    #   buffers are never sliced per layer.  Read-only keys (compressed
+    #   pools) are closure-captured whole; read-write keys (KV windows) ride
+    #   the scan carry whole, and the impl's attend receives (full, li) and
+    #   returns the updated full buffers (a one-token dynamic_update_slice).
+    #   Rationale: a per-layer dynamic-slice feeding a pallas_call cannot
+    #   fuse — XLA materializes the whole slice in HBM (measured 0.157
+    #   ms/layer for the pool + ~0.24 ms/layer for the windows at the bench
+    #   shape), and a scan ys restack forces the enclosing while_loop to
+    #   copy it back into its carry every token (2 x 0.9 ms/step).
+    # * <mode>_carry_keys: per-layer slices threaded through the scan carry
+    #   via dynamic_index/dynamic_update (dense/masked caches — their XLA
+    #   attention consumes a per-layer slice anyway; this still kills the
+    #   while-carry copy).
+    # * <mode>_invariant_keys: scanned as xs but excluded from ys (keys the
+    #   step never writes).
+    if mode == "decode":
+        pfx = "decode"
+    elif mode == "prefill_segment":
+        pfx = "segment"
+    else:
+        pfx = None
+    get = lambda attr: tuple(getattr(cache_impl, f"{pfx}_{attr}", ())) \
+        if pfx else ()
+    ro_keys, rw_keys = get("stacked_ro"), get("stacked_rw")
+    carry_keys = get("carry_keys")
+    inv_keys = tuple(k for k in get("invariant_keys")
+                     if k not in ro_keys + rw_keys)
+    stacked = bool(ro_keys or rw_keys)
+
     if mode == "prefill":
         def attend(lc, q, k, v):
             return cache_impl.prefill_attend(lc, q, k, v, aux)
     elif mode == "prefill_segment":
         seg_start, true_len = aux
-
-        def attend(lc, q, k, v):
-            return cache_impl.segment_attend(lc, q, k, v, seg_start, true_len)
+        if stacked:
+            def attend_stk(lc, q, k, v, full, li):
+                return cache_impl.segment_attend(lc, q, k, v, seg_start,
+                                                 true_len, full, li)
+        else:
+            def attend(lc, q, k, v):
+                return cache_impl.segment_attend(lc, q, k, v, seg_start,
+                                                 true_len)
     else:
-        def attend(lc, q, k, v):
-            return cache_impl.decode_attend(lc, q, k, v, aux)
+        if stacked:
+            def attend_stk(lc, q, k, v, full, li):
+                return cache_impl.decode_attend(lc, q, k, v, aux, full, li)
+        else:
+            def attend(lc, q, k, v):
+                return cache_impl.decode_attend(lc, q, k, v, aux)
 
-    # Keys the step never writes (e.g. the compressed kv_pool: decode
-    # compaction runs outside the step; a prefill segment's single-chunk
-    # write is staged and applied post-scan by finalize_segment).  Excluding
-    # them from the layer-scan output stops XLA from re-stacking the full
-    # pool (measured ~0.77 ms/step decode copy; a second 5.58 GiB pool
-    # buffer at 32k-ctx prefill).
-    #
-    # Keys the step DOES write (KV windows / dense KV buffers) are threaded
-    # through the scan CARRY with per-layer dynamic slice/update instead of
-    # being scanned as xs and restacked as ys: a scan ys output is a fresh
-    # buffer, so the enclosing decode while_loop must copy it back into its
-    # carry every token (measured 2 x 0.9 ms/step on the [16,32,288,8,128]
-    # windows at the bench shape); a carry updated in place aliases end to
-    # end through the loop.
-    if mode == "decode":
-        inv_keys = tuple(getattr(cache_impl, "decode_invariant_keys", ()))
-        carry_keys = tuple(getattr(cache_impl, "decode_carry_keys", ()))
-    elif mode == "prefill_segment":
-        inv_keys = tuple(getattr(cache_impl, "segment_invariant_keys", ()))
-        carry_keys = tuple(getattr(cache_impl, "segment_carry_keys", ()))
-    else:
-        inv_keys = carry_keys = ()
-    carried = {k: cache[k] for k in carry_keys}
-    xs_cache = {k: v for k, v in cache.items() if k not in carry_keys}
+    ro = {k: cache[k] for k in ro_keys}
+    skip_xs = set(ro_keys) | set(rw_keys) | set(carry_keys)
+    carried = {k: cache[k] for k in rw_keys + carry_keys}
+    xs_cache = {k: v for k, v in cache.items() if k not in skip_xs}
     L = cfg.num_layers
 
     def body(carry, layer_in):
         x, carried = carry
         li, lp, lc = layer_in
-        if carry_keys:
-            lc = dict(lc, **{k: jax.lax.dynamic_index_in_dim(
-                carried[k], li, 0, keepdims=False) for k in carry_keys})
-        x, lc = _layer(cfg, lp, x, cos, sin, attend, lc)
-        if carry_keys:
+        if stacked:
+            full = dict(ro, **carried)
+
+            def attend_l(lc_, q_, k_, v_):
+                out, lc2, upd = attend_stk(lc_, q_, k_, v_, full, li)
+                return out, dict(lc2, _stk_upd=upd)
+
+            x, lc = _layer(cfg, lp, x, cos, sin, attend_l, lc)
             lc = dict(lc)
-            carried = {k: jax.lax.dynamic_update_index_in_dim(
-                carried[k], lc.pop(k).astype(carried[k].dtype), li, 0)
-                for k in carry_keys}
+            carried = dict(carried, **lc.pop("_stk_upd"))
+        else:
+            if carry_keys:
+                lc = dict(lc, **{k: jax.lax.dynamic_index_in_dim(
+                    carried[k], li, 0, keepdims=False) for k in carry_keys})
+            x, lc = _layer(cfg, lp, x, cos, sin, attend, lc)
+            if carry_keys:
+                lc = dict(lc)
+                carried = {k: jax.lax.dynamic_update_index_in_dim(
+                    carried[k], lc.pop(k).astype(carried[k].dtype), li, 0)
+                    for k in carry_keys}
         if inv_keys:
             lc = {k: v for k, v in lc.items() if k not in inv_keys}
         return (x, carried), lc
@@ -173,7 +205,7 @@ def forward(cfg: ModelConfig, params: dict, tokens: jnp.ndarray, cache: Any,
     (x, carried), new_cache = jax.lax.scan(
         body, (x, carried),
         (jnp.arange(L, dtype=jnp.int32), params["layers"], xs_cache))
-    new_cache = dict(new_cache, **carried)
+    new_cache = dict(new_cache, **carried, **ro)
     if inv_keys:
         new_cache = dict(new_cache, **{k: cache[k] for k in inv_keys})
     if mode == "prefill_segment" and hasattr(cache_impl, "finalize_segment"):

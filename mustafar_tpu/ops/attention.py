@@ -72,19 +72,22 @@ def prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def attention_partials(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                       mask: jnp.ndarray):
+                       mask: jnp.ndarray, head_major: bool = False):
     """Unnormalized flash partials of masked GQA attention.
 
-    q [B,Tq,Hq,D]; k/v [B,S,Hkv,D]; mask [Tq,S] or [B,Tq,S] bool.
+    q [B,Tq,Hq,D]; k/v [B,S,Hkv,D] (or [B,Hkv,S,D] when head_major — the
+    compressed-cache window layout, read without a transpose); mask [Tq,S]
+    or [B,Tq,S] bool.
     Returns (acc [B,Tq,Hq,D] f32 = exp(s - m) @ v, m [B,Tq,Hq,1],
     l [B,Tq,Hq,1]); all-masked rows yield m = -1e30, l = 0, acc = 0 so they
     merge away against any live part (ops.attention.merge_partials).
     """
     B, Tq, Hq, D = q.shape
-    Hkv = k.shape[2]
+    Hkv = k.shape[1] if head_major else k.shape[2]
     qg = _fold_gqa(q, Hkv)
     scale = 1.0 / jnp.sqrt(jnp.float32(D))
-    s = jnp.einsum("bthgd,bshd->bthgs", qg, k,
+    k_sub = "bhsd" if head_major else "bshd"
+    s = jnp.einsum(f"bthgd,{k_sub}->bthgs", qg, k,
                    preferred_element_type=jnp.float32) * scale
     m_ = mask[None, :, None, None, :] if mask.ndim == 2 else mask[:, :, None, None, :]
     s = jnp.where(m_, s, NEG_INF)
@@ -93,7 +96,7 @@ def attention_partials(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     p = jnp.exp(s - m)
     p = jnp.where(m_, p, 0.0)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    acc = jnp.einsum("bthgs,bshd->bthgd", p.astype(v.dtype), v,
+    acc = jnp.einsum(f"bthgs,{k_sub}->bthgd", p.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
     G = Hq // Hkv
     return (acc.reshape(B, Tq, Hq, D),

@@ -70,6 +70,7 @@ def _q_decode_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, ks_ref, vs_ref,
                      nslots, window):
     nc = scalars_ref[0]
     win_len = scalars_ref[1]
+    li = scalars_ref[2]        # layer index into the stacked [L, ...] inputs
     b = pl.program_id(0)
     h0 = b * hpb
     D, C = codec.dim, codec.chunk
@@ -83,14 +84,14 @@ def _q_decode_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, ks_ref, vs_ref,
 
     def copy(slot, fi):
         return pltpu.make_async_copy(
-            pool_hbm.at[pl.ds(fi * F, F), pl.ds(h0, hpb)], buf.at[slot],
+            pool_hbm.at[li, pl.ds(fi * F, F), pl.ds(h0, hpb)], buf.at[slot],
             sems.at[slot])
 
     def wcopy(slot, wi, which):
         src = (kw_hbm, vw_hbm)[which]
         return pltpu.make_async_copy(
-            src.at[pl.ds(h0, hpb), pl.ds(wi * wt, wt)], wbuf.at[slot, which],
-            wsems.at[slot, which])
+            src.at[li, pl.ds(h0, hpb), pl.ds(wi * wt, wt)],
+            wbuf.at[slot, which], wsems.at[slot, which])
 
     m_ref[:] = jnp.full(m_ref.shape, -1e30, jnp.float32)
     l_ref[:] = jnp.zeros(l_ref.shape, jnp.float32)
@@ -151,7 +152,7 @@ def _q_decode_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, ks_ref, vs_ref,
             kd = _unpack(buf[slot, j, :, :KR, :], codec.kbits).reshape(HC, D)
             vd = _unpack(buf[slot, j, :, KR:KR + VR, :],
                          codec.vbits).reshape(HC, D)
-            qk = (q_all * _bcast_heads(ks_ref[ci], hpb, G8)
+            qk = (q_all * _bcast_heads(ks_ref[0, ci], hpb, G8)
                   ).astype(jnp.bfloat16)
             s = jax.lax.dot_general(qk, kd, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32) * scale
@@ -159,7 +160,7 @@ def _q_decode_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, ks_ref, vs_ref,
             if window is not None:
                 mask = mask & ((ci * C + tcol) > low)
             s = jnp.where(mask, s, -1e30)
-            online(s, vd, _bcast_heads(vs_ref[ci], hpb, G8))
+            online(s, vd, _bcast_heads(vs_ref[0, ci], hpb, G8))
         return 0
 
     jax.lax.fori_loop(0, n_fetch, fetch_body, 0)
@@ -196,28 +197,48 @@ def _q_decode_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, ks_ref, vs_ref,
 
 def fused_q_decode_attention(q, kv_pool, kscales, vscales, k_win, v_win,
                              n_chunks, win_len, codec: QuantCodec,
-                             max_chunks: int, hpb: int = 8, wt: int = 96,
-                             fdepth: int | None = None,
+                             max_chunks: int, li=None, hpb: int = 8,
+                             wt: int = 96, fdepth: int | None = None,
                              nslots: int | None = None,
                              window: int | None = None):
     """Fused decode over quantized pools, uniform batch.
 
-    q [B,1,Hq,D]; kv_pool [mc, BH, stream_rows, 128] int16;
-    kscales/vscales [mc, BH, D] bf16; k_win/v_win [B, Wcap, Hkv, D];
-    n_chunks/win_len int32 scalars.
+    Stacked form (the production decode path — no per-layer cache slices are
+    ever materialized; the kernel DMAs from the full stacked state at layer
+    ``li``): kv_pool [L, mc, BH, stream_rows, 128] int16; kscales/vscales
+    [L, mc, BH, D] bf16; k_win/v_win [L, BH, Wcap, D] bf16; li int32 scalar.
+
+    Per-layer form (li=None; kernel unit tests / benches): kv_pool
+    [mc, BH, ...]; scales [mc, BH, D]; k_win/v_win [B, Hkv, Wcap, D].
+
+    q [B,1,Hq,D]; n_chunks/win_len int32 scalars.
     """
     B, _, Hq, D = q.shape
-    W = k_win.shape[1]
-    Hkv = k_win.shape[2]
+    RQ = codec.stream_rows
+    if li is None:
+        Hkv = k_win.shape[1]
+        BH = B * Hkv
+        kv_pool = kv_pool[None]
+        kscales, vscales = kscales[None], vscales[None]
+        k_win = k_win.reshape(BH, *k_win.shape[2:])[None].astype(jnp.bfloat16)
+        v_win = v_win.reshape(BH, *v_win.shape[2:])[None].astype(jnp.bfloat16)
+        li = jnp.int32(0)
+    else:
+        BH = k_win.shape[1]
+        Hkv = BH // B
+        # production caches are bf16 (cast is a no-op); fp32 CPU-parity
+        # caches pay one stacked-window cast here
+        k_win = k_win.astype(jnp.bfloat16)
+        v_win = v_win.astype(jnp.bfloat16)
+    W = k_win.shape[2]
     G = Hq // Hkv
     G8 = max(8, G)
-    BH = B * Hkv
     hpb = min(hpb, BH)
     while BH % hpb:
         hpb //= 2
     NB = BH // hpb
-    RQ = codec.stream_rows
-    assert kv_pool.shape == (max_chunks, BH, RQ, 128), kv_pool.shape
+    L = kv_pool.shape[0]
+    assert kv_pool.shape == (L, max_chunks, BH, RQ, 128), kv_pool.shape
     if fdepth is None:
         # Measured on v5e (device-time sweep, docs/PERFORMANCE.md): shallow
         # pools want single-chunk fetches with 3 slots (issue/compute overlap
@@ -238,12 +259,12 @@ def fused_q_decode_attention(q, kv_pool, kscales, vscales, k_win, v_win,
     qg = q[:, 0].reshape(B, Hkv, G, D)
     qpad = jnp.pad(qg.reshape(BH, G, D), ((0, 0), (0, G8 - G), (0, 0)))
     qb = qpad.astype(jnp.bfloat16)
-    kw = jnp.transpose(k_win, (0, 2, 1, 3)).reshape(BH, W, D).astype(jnp.bfloat16)
-    vw = jnp.transpose(v_win, (0, 2, 1, 3)).reshape(BH, W, D).astype(jnp.bfloat16)
 
-    scalars = jnp.stack([n_chunks.astype(jnp.int32),
-                         win_len.astype(jnp.int32)])
-    sspec = pl.BlockSpec((max_chunks, hpb, D), lambda b, sref: (0, b, 0),
+    scalars = jnp.stack([jnp.asarray(n_chunks, jnp.int32),
+                         jnp.asarray(win_len, jnp.int32),
+                         jnp.asarray(li, jnp.int32)])
+    sspec = pl.BlockSpec((1, max_chunks, hpb, D),
+                         lambda b, sref: (sref[2], 0, b, 0),
                          memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -273,7 +294,7 @@ def fused_q_decode_attention(q, kv_pool, kscales, vscales, k_win, v_win,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((BH, G8, D), jnp.float32),
         interpret=_interpret(),
-    )(scalars, kv_pool, kw, vw, kscales, vscales, qb)
+    )(scalars, kv_pool, k_win, v_win, kscales, vscales, qb)
     return out[:, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
 
 
@@ -295,13 +316,14 @@ def _q_ps_kernel(scalars_ref, pool_hbm, ks_ref, vs_ref, q_ref, out_ref,
 
     ncs = [scalars_ref[(h0 + j) // hkv] for j in range(hpb)]
     wls = [scalars_ref[nslots + (h0 + j) // hkv] for j in range(hpb)]
+    li = scalars_ref[2 * nslots]   # layer index into the stacked pool/scales
     nc_max = ncs[0]
     for v in ncs[1:]:
         nc_max = jnp.maximum(nc_max, v)
 
     def copy(slot, ci):
         return pltpu.make_async_copy(
-            pool_hbm.at[ci, pl.ds(h0, hpb)], buf.at[slot], sems.at[slot])
+            pool_hbm.at[li, ci, pl.ds(h0, hpb)], buf.at[slot], sems.at[slot])
 
     m_ref[:] = jnp.full(m_ref.shape, -1e30, jnp.float32)
     l_ref[:] = jnp.zeros(l_ref.shape, jnp.float32)
@@ -336,7 +358,7 @@ def _q_ps_kernel(scalars_ref, pool_hbm, ks_ref, vs_ref, q_ref, out_ref,
         copy(slot, ci).wait()
         kd = _unpack(buf[slot][:, :KR, :], codec.kbits).reshape(HC, D)
         vd = _unpack(buf[slot][:, KR:KR + VR, :], codec.vbits).reshape(HC, D)
-        qk = (q_all * _bcast_heads(ks_ref[ci], hpb, G8)).astype(jnp.bfloat16)
+        qk = (q_all * _bcast_heads(ks_ref[0, ci], hpb, G8)).astype(jnp.bfloat16)
         s = jax.lax.dot_general(qk, kd, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         mask = blk & (ci < nc_col)
@@ -352,7 +374,7 @@ def _q_ps_kernel(scalars_ref, pool_hbm, ks_ref, vs_ref, q_ref, out_ref,
         pv = jax.lax.dot_general(p.astype(jnp.bfloat16), vd,
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        pv = pv * _bcast_heads(vs_ref[ci], hpb, G8)
+        pv = pv * _bcast_heads(vs_ref[0, ci], hpb, G8)
         acc_ref[:] = (acc_ref[:].reshape(HG, D) * corr[:, :D]
                       + pv).reshape(acc_ref.shape)
         m_ref[:] = m_new.reshape(m_ref.shape)
@@ -366,14 +388,18 @@ def _q_ps_kernel(scalars_ref, pool_hbm, ks_ref, vs_ref, q_ref, out_ref,
 
 def fused_q_decode_attention_ps(q, kv_pool, kscales, vscales, k_win, v_win,
                                 n_chunks, win_len, codec: QuantCodec,
-                                max_chunks: int, hpb: int = 16,
+                                max_chunks: int, li=None, hpb: int = 16,
                                 window: int | None = None):
     """Per-slot decode over quantized pools: n_chunks/win_len are [B] vectors
     (continuous batching).  Pool partials in-kernel; window part in XLA
-    (same split as sparse_attention.fused_sparse_decode_attention_v6ps)."""
+    (same split as sparse_attention.fused_sparse_decode_attention_v6ps).
+
+    kv_pool/kscales/vscales: stacked [L, mc, BH, ...] with li an int32 layer
+    index (production path — no per-layer pool slice is materialized), or
+    per-layer [mc, BH, ...] with li=None.  k_win/v_win [B, Hkv, Wcap, D]."""
     B, _, Hq, D = q.shape
-    W = k_win.shape[1]
-    Hkv = k_win.shape[2]
+    Hkv = k_win.shape[1]
+    W = k_win.shape[2]
     G = Hq // Hkv
     G8 = max(8, G)
     BH = B * Hkv
@@ -382,7 +408,12 @@ def fused_q_decode_attention_ps(q, kv_pool, kscales, vscales, k_win, v_win,
         hpb //= 2
     NB = BH // hpb
     RQ = codec.stream_rows
-    assert kv_pool.shape == (max_chunks, BH, RQ, 128), kv_pool.shape
+    if li is None:
+        kv_pool = kv_pool[None]
+        kscales, vscales = kscales[None], vscales[None]
+        li = jnp.int32(0)
+    L = kv_pool.shape[0]
+    assert kv_pool.shape == (L, max_chunks, BH, RQ, 128), kv_pool.shape
     assert n_chunks.shape == (B,) and win_len.shape == (B,)
 
     qg = q[:, 0].reshape(B, Hkv, G, D)
@@ -390,8 +421,10 @@ def fused_q_decode_attention_ps(q, kv_pool, kscales, vscales, k_win, v_win,
     qb = qpad.astype(jnp.bfloat16)
 
     scalars = jnp.concatenate([n_chunks.astype(jnp.int32),
-                               win_len.astype(jnp.int32)])
-    sspec = pl.BlockSpec((max_chunks, hpb, D), lambda b, sref: (0, b, 0),
+                               win_len.astype(jnp.int32),
+                               jnp.asarray(li, jnp.int32)[None]])
+    sspec = pl.BlockSpec((1, max_chunks, hpb, D),
+                         lambda b, sref: (sref[2 * B], 0, b, 0),
                          memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -424,8 +457,8 @@ def fused_q_decode_attention_ps(q, kv_pool, kscales, vscales, k_win, v_win,
         interpret=_interpret(),
     )(scalars, kv_pool, kscales, vscales, qb)
 
-    kw = jnp.transpose(k_win, (0, 2, 1, 3)).reshape(BH, W, D)
-    vw = jnp.transpose(v_win, (0, 2, 1, 3)).reshape(BH, W, D)
+    kw = k_win.reshape(BH, W, D)
+    vw = v_win.reshape(BH, W, D)
     scale = 1.0 / jnp.sqrt(jnp.float32(D))
     wl_bh = jnp.repeat(win_len, Hkv)                             # [BH]
     s_w = jax.lax.dot_general(qpad.astype(jnp.float32), kw.astype(jnp.float32),
@@ -456,6 +489,7 @@ def _q_seg_kernel(scalars_ref, pool_hbm, ks_ref, vs_ref, q_ref, out_ref,
                   gsize, scale, window, hpb):
     nc = scalars_ref[0]
     seg_start = scalars_ref[1]
+    li = scalars_ref[2]        # layer index into the stacked pool/scales
     bh = pl.program_id(0)
     # ks_ref/vs_ref blocks hold hpb heads' scale rows; pick ours in-register
     # (dynamic sublane indexing is illegal on real TPU).
@@ -463,7 +497,7 @@ def _q_seg_kernel(scalars_ref, pool_hbm, ks_ref, vs_ref, q_ref, out_ref,
               == bh % hpb)
 
     def _sel(ref, ci):
-        return jnp.sum(jnp.where(onehot, ref[ci].astype(jnp.float32), 0.0),
+        return jnp.sum(jnp.where(onehot, ref[0, ci].astype(jnp.float32), 0.0),
                        axis=0)
     D, C = codec.dim, codec.chunk
     KR = codec.k_rows
@@ -474,7 +508,7 @@ def _q_seg_kernel(scalars_ref, pool_hbm, ks_ref, vs_ref, q_ref, out_ref,
 
     def copy(slot, fi):
         return pltpu.make_async_copy(
-            pool_hbm.at[pl.ds(fi * fdepth, fdepth), bh], buf.at[slot],
+            pool_hbm.at[li, pl.ds(fi * fdepth, fdepth), bh], buf.at[slot],
             sems.at[slot])
 
     @pl.when(nc > 0)
@@ -530,19 +564,27 @@ def _q_seg_kernel(scalars_ref, pool_hbm, ks_ref, vs_ref, q_ref, out_ref,
 
 def fused_q_segment_attention(q_seg, kv_pool, kscales, vscales, n_chunks,
                               seg_start, codec: QuantCodec, max_chunks: int,
-                              fdepth: int = 4, window: int | None = None):
+                              li=None, fdepth: int = 4,
+                              window: int | None = None):
     """Segment (chunked-prefill) partials over quantized pools.
 
     Same contract as sparse_attention.fused_sparse_segment_attention:
     returns flash partials (acc, m, l) over the packed chunks only.
+    kv_pool/kscales/vscales: stacked [L, mc, BH, ...] with li an int32 layer
+    index, or per-layer [mc, BH, ...] with li=None.
     """
     B, Tseg, Hq, D = q_seg.shape
-    Hkv = kv_pool.shape[1] // B
+    if li is None:
+        kv_pool = kv_pool[None]
+        kscales, vscales = kscales[None], vscales[None]
+        li = jnp.int32(0)
+    L = kv_pool.shape[0]
+    Hkv = kv_pool.shape[2] // B
     G = Hq // Hkv
     BH = B * Hkv
     QR = Tseg * G
     RQ = codec.stream_rows
-    assert kv_pool.shape == (max_chunks, BH, RQ, 128), kv_pool.shape
+    assert kv_pool.shape == (L, max_chunks, BH, RQ, 128), kv_pool.shape
     while max_chunks % fdepth:
         fdepth //= 2
 
@@ -550,7 +592,8 @@ def fused_q_segment_attention(q_seg, kv_pool, kscales, vscales, n_chunks,
     qb = jnp.transpose(qg, (0, 2, 1, 3, 4)).reshape(BH, QR, D).astype(jnp.bfloat16)
 
     scalars = jnp.stack([n_chunks.astype(jnp.int32),
-                         jnp.asarray(seg_start, jnp.int32)])
+                         jnp.asarray(seg_start, jnp.int32),
+                         jnp.asarray(li, jnp.int32)])
     # Scales arrive [mc, BH, D].  A per-bh (mc, 1, D) block lands the bh
     # offset on the sublane axis — not 8-aligned on real TPU (interpret mode
     # doesn't check; see CLAUDE.md).  Block hpb=8 heads per block like the
@@ -558,8 +601,8 @@ def fused_q_segment_attention(q_seg, kv_pool, kscales, vscales, n_chunks,
     # untiled leading dim, and one-hot-select this grid step's head row
     # in-register inside the kernel.
     hpb = 8 if BH % 8 == 0 else BH
-    sspec = pl.BlockSpec((max_chunks, hpb, D),
-                         lambda b, sref: (0, b // hpb, 0),
+    sspec = pl.BlockSpec((1, max_chunks, hpb, D),
+                         lambda b, sref: (sref[2], 0, b // hpb, 0),
                          memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -1186,11 +1186,13 @@ def fused_sparse_decode_attention_v6ps(q, kv_pool, k_win, v_win, n_chunks,
                                        hpb: int = 16,
                                        window: int | None = None):
     """Per-slot v6: n_chunks [B], win_len [B] vectors (continuous batching).
-    ``window`` masks pool chunks to the per-sequence sliding window (Mistral
-    semantics, reference mistral_mustafar_Kt_Mag_Vt_Mag.py:983-989)."""
+    k_win/v_win [B, Hkv, Wcap, D] (head-major window layout — a free reshape
+    of the cache state, no transpose).  ``window`` masks pool chunks to the
+    per-sequence sliding window (Mistral semantics, reference
+    mistral_mustafar_Kt_Mag_Vt_Mag.py:983-989)."""
     B, _, Hq, D = q.shape
-    W = k_win.shape[1]
-    Hkv = k_win.shape[2]
+    Hkv = k_win.shape[1]
+    W = k_win.shape[2]
     G = Hq // Hkv
     G8 = max(8, G)
     BH = B * Hkv
@@ -1241,8 +1243,8 @@ def fused_sparse_decode_attention_v6ps(q, kv_pool, k_win, v_win, n_chunks,
         interpret=_interpret(),
     )(scalars, kv_pool, qb)
 
-    kw = jnp.transpose(k_win, (0, 2, 1, 3)).reshape(BH, W, D)
-    vw = jnp.transpose(v_win, (0, 2, 1, 3)).reshape(BH, W, D)
+    kw = k_win.reshape(BH, W, D)
+    vw = v_win.reshape(BH, W, D)
     scale = 1.0 / jnp.sqrt(jnp.float32(D))
     wl_bh = jnp.repeat(win_len, Hkv)                             # [BH]
     s_w = jax.lax.dot_general(qpad.astype(jnp.float32), kw.astype(jnp.float32),
@@ -1548,10 +1550,11 @@ def fused_sparse_decode_attention_v7(q, kv_pool, k_win, v_win, n_chunks,
                                      hpb: int = 16, window: int | None = None,
                                      wt: int = 96):
     """v7: fully in-kernel decode attention with dynamic window length.
-    Same contract as v6."""
+    Same contract as v6 except k_win/v_win are [B, Hkv, Wcap, D] (head-major
+    window layout — a free reshape of the cache state, no transpose)."""
     B, _, Hq, D = q.shape
-    W = k_win.shape[1]
-    Hkv = k_win.shape[2]
+    Hkv = k_win.shape[1]
+    W = k_win.shape[2]
     G = Hq // Hkv
     G8 = max(8, G)
     BH = B * Hkv
@@ -1567,8 +1570,8 @@ def fused_sparse_decode_attention_v7(q, kv_pool, k_win, v_win, n_chunks,
     qg = q[:, 0].reshape(B, Hkv, G, D)
     qpad = jnp.pad(qg.reshape(BH, G, D), ((0, 0), (0, G8 - G), (0, 0)))
     qb = qpad.astype(jnp.bfloat16)
-    kw = jnp.transpose(k_win, (0, 2, 1, 3)).reshape(BH, W, D).astype(jnp.bfloat16)
-    vw = jnp.transpose(v_win, (0, 2, 1, 3)).reshape(BH, W, D).astype(jnp.bfloat16)
+    kw = k_win.reshape(BH, W, D).astype(jnp.bfloat16)
+    vw = v_win.reshape(BH, W, D).astype(jnp.bfloat16)
 
     scalars = jnp.stack([n_chunks.astype(jnp.int32), win_len.astype(jnp.int32)])
     fixed = lambda shape: pl.BlockSpec(shape, lambda b, sref: (b, 0, 0),

@@ -66,8 +66,11 @@ def cache_specs(engine: EngineConfig, cache_state: dict) -> dict:
     for key, val in cache_state.items():
         if key == "n_chunks":
             specs[key] = P(None,)
-        elif key in ("k", "v", "k_win", "v_win", "k_score", "v_score"):
+        elif key in ("k", "v", "k_score", "v_score"):
             specs[key] = P(None, "data", None, "model", None)
+        elif key in ("k_win", "v_win"):
+            # compressed windows are head-major [L, B, Hkv, W, D]
+            specs[key] = P(None, "data", "model", None, None)
         elif key == "kv_pool":
             # chunk-major fused pool [L, mc, B, Hkv, ROWS, 128] — batch over
             # data, kv-heads over model (independent axes; a joint spec on the
@@ -83,27 +86,40 @@ def cache_specs(engine: EngineConfig, cache_state: dict) -> dict:
 
 
 def shard_headlocal_attend(fn, mesh: Mesh, per_slot: bool = False,
-                           quant: bool = False):
+                           quant: bool = False, stacked: bool = False):
     """shard_map a compressed decode-attention call so each shard runs the
     Pallas kernel on its local (batch x kv-head) rows only.
 
-    ``fn(q, kv_pool, k_win, v_win, n_chunks, win_len) -> out`` with
-    q [B,1,Hq,D], kv_pool [mc, B, Hkv, ROWS, 128] (the per-layer 6-D cache
-    state; fn reshapes its local block to the kernel's b-major [mc, BH', ..]
-    view), k_win/v_win [B,W,Hkv,D].  Pools are head-local by design
-    (SURVEY.md §7: per-head compressed streams never communicate), so no
-    collectives appear inside attention; GSPMD handles the surrounding
-    projections.  per_slot: n_chunks/win_len are [B] vectors sharded over
-    "data" (continuous batching).  quant: fn takes the per-layer scales
-    state [mc, B, Hkv, 2, D] right after the pool (q8 codec)."""
+    ``fn(q, kv_pool, [kv_scales,] k_win, v_win, n_chunks, win_len[, li])``
+    with q [B,1,Hq,D].  Pools are head-local by design (SURVEY.md §7:
+    per-head compressed streams never communicate), so no collectives appear
+    inside attention; GSPMD handles the surrounding projections.
+
+    stacked: the production decode path — the pool (and quant scales) are
+    the WHOLE stacked [L, mc, B, Hkv, ...] state plus an int32 layer index
+    ``li``; uniform-batch windows are stacked [L, B, Hkv, W, D] too, while
+    per-slot windows are per-layer [B, Hkv, W, D] (the v6ps/q_ps wrappers
+    compute the window part in XLA).  Non-stacked: per-layer 6-D pool
+    [mc, B, Hkv, ROWS, 128] and per-layer windows.  fn reshapes its local
+    block to the kernel's b-major [.., BH', ..] view.  per_slot:
+    n_chunks/win_len are [B] vectors sharded over "data" (continuous
+    batching).  quant: fn takes the scales state right after the pool."""
     qspec = P("data", None, "model", None)
-    wspec = P("data", None, "model", None)
-    pool = P(None, "data", "model", None, None)
+    wspec4 = P("data", "model", None, None)          # per-layer [B,Hkv,W,D]
+    wspec5 = P(None, "data", "model", None, None)    # stacked [L,B,Hkv,W,D]
+    wspec = wspec5 if (stacked and not per_slot) else wspec4
+    if stacked:
+        pool = P(None, None, "data", "model", None, None)
+        extra = (P(None, None, "data", "model", None, None),) if quant else ()
+        tail_li = (P(),)
+    else:
+        pool = P(None, "data", "model", None, None)
+        extra = (P(None, "data", "model", None, None),) if quant else ()
+        tail_li = ()
     scal = P("data") if per_slot else P()
-    extra = (P(None, "data", "model", None, None),) if quant else ()
     return jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(qspec, pool, *extra, wspec, wspec, scal, scal),
+        in_specs=(qspec, pool, *extra, wspec, wspec, scal, scal, *tail_li),
         out_specs=qspec,
         # pallas_call out_shapes carry no varying-mesh-axes annotation
         check_vma=False)

@@ -74,9 +74,11 @@ def test_prefill_chunking_and_window():
     np.testing.assert_allclose(k_dense[0, :, :512], want, atol=1e-6)
     assert (k_dense[0, :, 512:] == 0).all()
     # window holds tokens 512..600 dense, zero beyond
-    kw = np.asarray(lc["k_win"])[0]                    # [Wcap, Hkv, D]
-    np.testing.assert_allclose(kw[:88], np.asarray(k)[0, 512:600], atol=1e-6)
-    assert (kw[88:] == 0).all()
+    kw = np.asarray(lc["k_win"])[0]                    # [Hkv, Wcap, D]
+    np.testing.assert_allclose(kw[:, :88],
+                               np.asarray(k)[0, 512:600].transpose(1, 0, 2),
+                               atol=1e-6)
+    assert (kw[:, 88:] == 0).all()
 
 
 def test_decode_compaction_appends_chunk():
@@ -115,11 +117,12 @@ def test_decode_compaction_appends_chunk():
     # after compaction the window restarts with the residual (32 tokens)
     win_len = pos - int(lc["n_chunks"][0]) * 256
     assert win_len == 32
-    kw = np.asarray(lc["k_win"])[0]
+    kw = np.asarray(lc["k_win"])[0]                    # [Hkv, Wcap, D]
     # window rows = the last 32 appended tokens
-    last32 = np.stack(kept_k[-32:])[:, None, :] if Hkv == 1 else None
-    np.testing.assert_allclose(kw[:32], np.stack(kept_k[-32:]), atol=1e-6)
-    assert (kw[32:] == 0).all()
+    np.testing.assert_allclose(kw[:, :32],
+                               np.stack(kept_k[-32:]).transpose(1, 0, 2),
+                               atol=1e-6)
+    assert (kw[:, 32:] == 0).all()
 
 
 def test_xla_and_interpret_kernel_paths_agree():

@@ -352,7 +352,8 @@ def test_fused_v6ps_per_slot_counts():
 
     got = np.asarray(ska.fused_sparse_decode_attention_v6ps(
         jnp.asarray(q, jnp.bfloat16), pool,
-        jnp.asarray(k_win, jnp.bfloat16), jnp.asarray(v_win, jnp.bfloat16),
+        jnp.asarray(k_win.transpose(0, 2, 1, 3), jnp.bfloat16),
+        jnp.asarray(v_win.transpose(0, 2, 1, 3), jnp.bfloat16),
         jnp.asarray(ncs), jnp.asarray(wls), FMT, FMT, mc), np.float32)
 
     # reference: per-sequence v4 on sliced inputs
@@ -397,7 +398,8 @@ def test_fused_v6ps_sliding_window():
 
     got = np.asarray(ska.fused_sparse_decode_attention_v6ps(
         jnp.asarray(q, jnp.bfloat16), pool,
-        jnp.asarray(k_win, jnp.bfloat16), jnp.asarray(v_win, jnp.bfloat16),
+        jnp.asarray(k_win.transpose(0, 2, 1, 3), jnp.bfloat16),
+        jnp.asarray(v_win.transpose(0, 2, 1, 3), jnp.bfloat16),
         jnp.asarray(ncs), jnp.asarray(wls), FMT, FMT, mc, window=win),
         np.float32)
 
@@ -438,9 +440,13 @@ def test_fused_v7_matches_v6():
         args = (jnp.asarray(q, jnp.bfloat16), pool,
                 jnp.asarray(k_win, jnp.bfloat16), jnp.asarray(v_win, jnp.bfloat16),
                 jnp.int32(nact), jnp.int32(wl), FMT, FMT, mc)
+        args_hm = (args[0], args[1],
+                   jnp.asarray(k_win.transpose(0, 2, 1, 3), jnp.bfloat16),
+                   jnp.asarray(v_win.transpose(0, 2, 1, 3), jnp.bfloat16),
+                   *args[4:])
         ref = np.asarray(ska.fused_sparse_decode_attention_v6(*args, window=win),
                          np.float32)
-        got = np.asarray(ska.fused_sparse_decode_attention_v7(*args, window=win),
+        got = np.asarray(ska.fused_sparse_decode_attention_v7(*args_hm, window=win),
                          np.float32)
         np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2,
                                    err_msg=f"nact={nact} wl={wl} win={win}")

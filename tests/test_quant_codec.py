@@ -99,19 +99,18 @@ def _mk_pool(rs, B, Hkv, mc, nact, codec):
 
 def _ref_decode(qx, kdeq, vdeq, k_win, v_win, nact, wl, window=None,
                 pos_base=0):
+    # k_win/v_win are head-major [B, Hkv, W, D] (the cache window layout)
     B, _, Hq, D = qx.shape
-    Hkv = k_win.shape[2]
+    Hkv = k_win.shape[1]
     G = Hq // Hkv
     BH = B * Hkv
     C = kdeq.shape[2]
     kall = np.concatenate(
         [kdeq[:, :nact].reshape(BH, -1, D),
-         np.transpose(np.asarray(k_win, np.float32)[:, :wl],
-                      (0, 2, 1, 3)).reshape(BH, wl, D)], axis=1)
+         np.asarray(k_win, np.float32)[:, :, :wl].reshape(BH, wl, D)], axis=1)
     vall = np.concatenate(
         [vdeq[:, :nact].reshape(BH, -1, D),
-         np.transpose(np.asarray(v_win, np.float32)[:, :wl],
-                      (0, 2, 1, 3)).reshape(BH, wl, D)], axis=1)
+         np.asarray(v_win, np.float32)[:, :, :wl].reshape(BH, wl, D)], axis=1)
     T = kall.shape[1]
     qg = np.asarray(qx, np.float32)[:, 0].reshape(BH, G, D)
     # scales folded in bf16 in-kernel; reference uses f32 — tolerance covers it
@@ -136,8 +135,8 @@ def test_q_decode_kernel_matches_reference(vbits, window, wl):
     mc, nact = 4, 3
     rs = np.random.RandomState(2)
     pool, ks, vs, kdeq, vdeq = _mk_pool(rs, B, Hkv, mc, nact, codec)
-    k_win = jnp.asarray(rs.randn(B, W, Hkv, D) * 0.1, jnp.bfloat16)
-    v_win = jnp.asarray(rs.randn(B, W, Hkv, D) * 0.1, jnp.bfloat16)
+    k_win = jnp.asarray(rs.randn(B, Hkv, W, D) * 0.1, jnp.bfloat16)
+    v_win = jnp.asarray(rs.randn(B, Hkv, W, D) * 0.1, jnp.bfloat16)
     qx = jnp.asarray(rs.randn(B, 1, Hkv * G, D) * 0.1, jnp.bfloat16)
     out = np.asarray(qa.fused_q_decode_attention(
         qx, pool, ks, vs, k_win, v_win, jnp.int32(nact), jnp.int32(wl),
@@ -154,8 +153,8 @@ def test_q_decode_kernel_clamps_nslots():
     mc, nact, wl = 4, 3, 120
     rs = np.random.RandomState(2)
     pool, ks, vs, kdeq, vdeq = _mk_pool(rs, B, Hkv, mc, nact, codec)
-    k_win = jnp.asarray(rs.randn(B, W, Hkv, D) * 0.1, jnp.bfloat16)
-    v_win = jnp.asarray(rs.randn(B, W, Hkv, D) * 0.1, jnp.bfloat16)
+    k_win = jnp.asarray(rs.randn(B, Hkv, W, D) * 0.1, jnp.bfloat16)
+    v_win = jnp.asarray(rs.randn(B, Hkv, W, D) * 0.1, jnp.bfloat16)
     qx = jnp.asarray(rs.randn(B, 1, Hkv * G, D) * 0.1, jnp.bfloat16)
     out = np.asarray(qa.fused_q_decode_attention(
         qx, pool, ks, vs, k_win, v_win, jnp.int32(nact), jnp.int32(wl),
@@ -170,8 +169,8 @@ def test_q_decode_ps_kernel_matches_reference():
     mc = 4
     rs = np.random.RandomState(3)
     pool, ks, vs, kdeq, vdeq = _mk_pool(rs, B, Hkv, mc, mc, codec)
-    k_win = jnp.asarray(rs.randn(B, W, Hkv, D) * 0.1, jnp.bfloat16)
-    v_win = jnp.asarray(rs.randn(B, W, Hkv, D) * 0.1, jnp.bfloat16)
+    k_win = jnp.asarray(rs.randn(B, Hkv, W, D) * 0.1, jnp.bfloat16)
+    v_win = jnp.asarray(rs.randn(B, Hkv, W, D) * 0.1, jnp.bfloat16)
     qx = jnp.asarray(rs.randn(B, 1, Hkv * G, D) * 0.1, jnp.bfloat16)
     nc = jnp.asarray([3, 1], jnp.int32)
     wl = jnp.asarray([120, 40], jnp.int32)
