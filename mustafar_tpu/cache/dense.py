@@ -29,13 +29,15 @@ import jax.numpy as jnp
 
 from mustafar_tpu.config import EngineConfig, PruneMethod
 from mustafar_tpu.ops import pruning
-from mustafar_tpu.ops.attention import causal_mask, mha, prefill_attention
+from mustafar_tpu.ops.attention import (attention_partials, causal_mask,
+                                        merge_partials, mha, prefill_attention)
 
 
 class DenseKVCache:
     """Baseline dense KV cache; also the base class for the masked cache."""
 
-    def __init__(self, engine: EngineConfig, use_pallas: bool | None = None):
+    def __init__(self, engine: EngineConfig, use_pallas: bool | None = None,
+                 stacked_decode: bool = True):
         self.engine = engine
         self.model = engine.model
         self.window = self.model.sliding_window
@@ -43,11 +45,21 @@ class DenseKVCache:
         # kernel at dense shapes on v5e (710 vs 923 us at B=32/S=1024), so the
         # kernel is opt-in (docs/PERFORMANCE.md).
         self.use_pallas = False if use_pallas is None else use_pallas
-        # decode appends one token per step into the full [L,B,S,Hkv,D]
-        # buffers — carry them through the layer scan (in-place updates) so
-        # the decode while_loop aliases them instead of copying a fresh ys
-        # restack back into its carry every token (models/llama.forward)
-        self.decode_carry_keys = ("k", "v")
+        # STACKED decode protocol (models/llama.forward): the [L,B,S,Hkv,D]
+        # buffers ride the layer scan whole; the append/prune writes are
+        # one-row scatters into the stacked buffer and the attention read is
+        # a dynamic-slice XLA fuses into the QK/AV dots.  (The previous
+        # per-layer carry protocol paid ~0.48 ms/layer/step of full-slice
+        # write-backs at the bench shape — measured, docs/PERFORMANCE.md.)
+        # stacked_decode=False keeps that legacy protocol: one softmax over
+        # the post-append cache — the bit-exact semantic reference the
+        # lossless compressed-cache tests compare against.
+        if stacked_decode:
+            self.decode_stacked_rw = ("k", "v")
+            self.decode_carry_keys = ()
+        else:
+            self.decode_stacked_rw = ()
+            self.decode_carry_keys = ("k", "v")
 
     # -- state ------------------------------------------------------------
     def init(self, batch: int, dtype=jnp.bfloat16) -> dict:
@@ -88,9 +100,16 @@ class DenseKVCache:
         return k, v
 
     # -- decode -----------------------------------------------------------
-    def decode_attend(self, lc: dict, q, k, v, pos):
+    def decode_attend(self, lc: dict, q, k, v, pos, full=None, li=None):
         """q [B,1,Hq,D], k/v [B,1,Hkv,D]; pos: int32 index of the new token —
-        scalar (uniform batch) or [B] (per-slot, continuous batching)."""
+        scalar (uniform batch) or [B] (per-slot, continuous batching).
+
+        Stacked form (production decode; ``full``/``li`` given): k/v live in
+        full["k"]/full["v"] [L,B,S,Hkv,D]; returns (out, lc, updated stacked
+        buffers).  Per-layer form (full=None; unit tests): k/v live in
+        lc["k"]/lc["v"] [B,S,Hkv,D]; returns (out, lc)."""
+        if full is not None:
+            return self._decode_attend_stacked(lc, q, k, v, pos, full, li)
         lc = dict(lc)
         B = q.shape[0]
         S = lc["k"].shape[1]
@@ -120,12 +139,65 @@ class DenseKVCache:
         lc = self.decode_prune(lc, q, w, pos)
         return out, lc
 
+    def _decode_attend_stacked(self, lc, q, k, v, pos, full, li):
+        """Stacked decode: one-row writes into [L,B,S,Hkv,D], fused-slice reads.
+
+        The cached K/V are read from the PRE-append buffers and the new token
+        is merged as an explicit self-attention flash partial: a dynamic
+        slice of the freshly-scattered buffer does not fuse into the dots
+        (XLA materializes the 107 MB layer slice — measured 0.26 ms/layer at
+        the bench shape), while a slice of the unmodified loop carry does."""
+        kf, vf = full["k"], full["v"]
+        B = q.shape[0]
+        S = kf.shape[2]
+        pos = jnp.asarray(pos)
+        kpos = jnp.arange(S)
+        k_l = jax.lax.dynamic_index_in_dim(kf, li, 0, keepdims=False)
+        v_l = jax.lax.dynamic_index_in_dim(vf, li, 0, keepdims=False)
+        if pos.ndim == 0:
+            zero = jnp.int32(0)
+            kf = jax.lax.dynamic_update_slice(
+                kf, k[None].astype(kf.dtype), (li, zero, pos, zero, zero))
+            vf = jax.lax.dynamic_update_slice(
+                vf, v[None].astype(vf.dtype), (li, zero, pos, zero, zero))
+            # cached tokens only: kpos <= pos - 1 (+ sliding window)
+            mask = causal_mask(pos[None], kpos, pos, self.window)
+        else:
+            bidx = jnp.arange(B)
+            lib = jnp.broadcast_to(li, (B,))
+            kf = kf.at[lib, bidx, pos].set(k[:, 0].astype(kf.dtype))
+            vf = vf.at[lib, bidx, pos].set(v[:, 0].astype(vf.dtype))
+            mask = kpos[None, None, :] < pos[:, None, None]       # [B,1,S]
+            if self.window is not None:
+                mask &= kpos[None, None, :] > (pos[:, None, None] - self.window)
+        bufs = dict(full, k=kf, v=vf)
+        if self.use_pallas and not self._needs_weights() \
+                and self.model.head_dim % 128 == 0:
+            from mustafar_tpu.ops.kernels.dense_decode import flash_decode_attention
+            # the kernel DMAs what it needs; give it the post-append slice
+            out = flash_decode_attention(
+                q, jax.lax.dynamic_index_in_dim(kf, li, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(vf, li, 0, keepdims=False),
+                pos, self.window)
+            bufs = self._decode_prune_stacked(bufs, q, None, pos, li)
+            return out, lc, {kk: bufs[kk] for kk in self.decode_stacked_rw}
+        p_cached = attention_partials(q, k_l, v_l, mask)
+        ones = jnp.ones((1, 1), bool)
+        p_self = attention_partials(q, k.astype(k_l.dtype),
+                                    v.astype(v_l.dtype), ones)
+        out = merge_partials([p_cached, p_self]).astype(q.dtype)
+        bufs = self._decode_prune_stacked(bufs, q, None, pos, li)
+        return out, lc, {kk: bufs[kk] for kk in self.decode_stacked_rw}
+
     def _needs_weights(self) -> bool:
         """Opa value policies score with post-softmax weights (XLA path)."""
         return False
 
     def decode_prune(self, lc, q, attn_w, pos):
         return lc
+
+    def _decode_prune_stacked(self, bufs, q, attn_w, pos, li):
+        return bufs
 
 
 def _prune_row_at(buf: jnp.ndarray, idx: jnp.ndarray, prune_fn) -> jnp.ndarray:
@@ -176,14 +248,81 @@ def _prune_block_at(buf: jnp.ndarray, start: jnp.ndarray, size: int, do: jnp.nda
     return buf.at[bidx, idx].set(new_blk)
 
 
+def _prune_row_at5(buf: jnp.ndarray, li, idx: jnp.ndarray, prune_fn) -> jnp.ndarray:
+    """Row RMW at (li, :, idx) of a stacked [L,B,S,H,D] buffer.
+
+    Reads/writes exactly one token row per sequence (gather/scatter or a
+    [1,B,1,H,D] dynamic slice) — the full per-layer slice is never
+    materialized.  idx < 0 is a no-op (clamped write-back of the old row)."""
+    idx = jnp.asarray(idx)
+    B = buf.shape[1]
+    if idx.ndim == 0:
+        zero = jnp.int32(0)
+        cidx = jnp.maximum(idx, 0)
+        row = jax.lax.dynamic_slice(
+            buf, (li, zero, cidx, zero, zero),
+            (1, B, 1, buf.shape[3], buf.shape[4]))                 # [1,B,1,H,D]
+        pruned = prune_fn(row[0])
+        new_row = jnp.where(idx >= 0, pruned, row[0])
+        return jax.lax.dynamic_update_slice(
+            buf, new_row[None].astype(buf.dtype), (li, zero, cidx, zero, zero))
+    bidx = jnp.arange(B)
+    lib = jnp.broadcast_to(li, (B,))
+    cidx = jnp.maximum(idx, 0)
+    row = buf[lib, bidx, cidx][:, None]                            # [B,1,H,D]
+    pruned = prune_fn(row)
+    new_row = jnp.where(idx[:, None, None, None] >= 0, pruned, row)
+    return buf.at[lib, bidx, cidx].set(new_row[:, 0].astype(buf.dtype))
+
+
+def _prune_block_at5(buf: jnp.ndarray, li, start: jnp.ndarray, size: int,
+                     do: jnp.ndarray, prune_fn) -> jnp.ndarray:
+    """Block RMW of ``size`` token rows at (li, :, start:start+size) of a
+    stacked [L,B,S,H,D] buffer when ``do`` (cf. _prune_block_at)."""
+    start = jnp.asarray(start)
+    B, S = buf.shape[1], buf.shape[2]
+    if start.ndim == 0:
+        zero = jnp.int32(0)
+        cstart = jnp.clip(start, 0, S - size)
+        blk = jax.lax.dynamic_slice(
+            buf, (li, zero, cstart, zero, zero),
+            (1, B, size, buf.shape[3], buf.shape[4]))              # [1,B,s,H,D]
+        pruned = prune_fn(blk[0])
+        new_blk = jnp.where(jnp.logical_and(do, start >= 0),
+                            pruned.astype(buf.dtype), blk[0])
+        return jax.lax.dynamic_update_slice(
+            buf, new_blk[None].astype(buf.dtype), (li, zero, cstart, zero, zero))
+    bidx = jnp.arange(B)[:, None]
+    cstart = jnp.clip(start, 0, S - size)                          # [B]
+    idx = cstart[:, None] + jnp.arange(size)[None, :]              # [B, size]
+    lib = jnp.broadcast_to(li, idx.shape)
+    blk = buf[lib, bidx, idx]                                      # [B,size,H,D]
+    pruned = prune_fn(blk)
+    sel = jnp.logical_and(do, start >= 0)[:, None, None, None]
+    new_blk = jnp.where(sel, pruned.astype(buf.dtype), blk)
+    return buf.at[lib, bidx, idx].set(new_blk)
+
+
 class MaskedKVCache(DenseKVCache):
     """Dense-storage cache with reference pruning semantics applied in place."""
 
-    def __init__(self, engine: EngineConfig, use_pallas: bool | None = None):
-        super().__init__(engine, use_pallas)
+    def __init__(self, engine: EngineConfig, use_pallas: bool | None = None,
+                 stacked_decode: bool = True):
+        super().__init__(engine, use_pallas, stacked_decode)
         p = engine.prune
         self.p = p
         self.method = p.method
+        if "opa" in self.method.k_policy or "opa" in self.method.v_policy:
+            # Opa ring machinery (score accumulators + windowed gathers)
+            # stays on the per-layer carry protocol — it is the accuracy
+            # path (XLA attention, _needs_weights) and not perf-critical.
+            self.decode_stacked_rw = ()
+            score_keys = ()
+            if self.method.k_policy == "token_opa":
+                score_keys += ("k_score",)
+            if self.method.v_policy in ("token_opa", "channel_opa"):
+                score_keys += ("v_score",)
+            self.decode_carry_keys = ("k", "v") + score_keys
 
     def _needs_weights(self) -> bool:
         return self.method.v_policy in ("token_opa", "channel_opa")
@@ -347,6 +486,36 @@ class MaskedKVCache(DenseKVCache):
         elif m.v_policy == "channel_opa":
             lc = self._decode_prune_v_channel_opa(lc, attn_w, exit_idx)
         return lc
+
+    def _decode_prune_stacked(self, bufs, q, attn_w, pos, li):
+        """decode_prune on the stacked [L,B,S,H,D] buffers (non-Opa methods;
+        Opa instances opt out of the stacked protocol in __init__)."""
+        r = self.p.residual_length
+        exit_idx = pos - r
+        m = self.method
+        if m in (PruneMethod.THINK, PruneMethod.THINV):
+            return bufs   # prefill-only baselines
+
+        if m.k_policy == "token_mag":
+            bufs["k"] = _prune_row_at5(
+                bufs["k"], li, exit_idx,
+                lambda x: pruning.prune_token_mag(x, self.p.k_sparsity))
+
+        if m.v_policy == "token_mag":
+            bufs["v"] = _prune_row_at5(
+                bufs["v"], li, exit_idx,
+                lambda x: pruning.prune_token_mag(x, self.p.v_sparsity))
+        elif m.v_policy == "channel_mag":
+            gs = self.p.group_size
+            boundary = jnp.logical_and(exit_idx >= gs - 1,
+                                       (exit_idx - (gs - 1)) % gs == 0)
+            start = exit_idx - (gs - 1)
+            bufs["v"] = _prune_block_at5(
+                bufs["v"], li, start, gs, boundary,
+                lambda blk: jnp.swapaxes(
+                    pruning.prune_channel_mag(jnp.swapaxes(blk, 1, 2),
+                                              self.p.v_sparsity, gs), 1, 2))
+        return bufs
 
     # ---- Opa decode state machines --------------------------------------
     # The reference accumulates per-step scores for the tokens inside the

@@ -9,6 +9,7 @@ from mustafar_tpu.config import (CacheMode, EngineConfig, PruneConfig, PruneMeth
                                  TINY_LLAMA)
 from mustafar_tpu.cache import make_cache
 from mustafar_tpu.cache.compressed import CompressedKVCache
+from mustafar_tpu.cache.dense import DenseKVCache
 from mustafar_tpu.models.llama import init_params
 from mustafar_tpu.ops import sparse_format as sf
 from mustafar_tpu.runtime.generate import Generator
@@ -40,7 +41,14 @@ def test_compressed_lossless_matches_dense():
 
     dense_eng = EngineConfig(model=MODEL128, cache_mode=CacheMode.DENSE,
                              max_seq_len=1024, prefill_bucket=256)
-    dense = Generator(dense_eng, params, dtype=jnp.bfloat16).generate(prompt, 40)
+    # legacy (per-layer, single-softmax) decode protocol: the bit-exact
+    # semantic reference; the compressed XLA fallback computes the identical
+    # softmax over [pool ++ window] incl. self.  The production stacked
+    # protocol splits the softmax (flash partials) and is compared with
+    # tolerances in test_model_parity / test_dense_decode instead.
+    dense_gen = Generator(dense_eng, params, dtype=jnp.bfloat16)
+    dense_gen.cache_impl = DenseKVCache(dense_eng, stacked_decode=False)
+    dense = dense_gen.generate(prompt, 40)
 
     comp = Generator(_engine(0.0), params, dtype=jnp.bfloat16).generate(prompt, 40)
     for a, b in zip(dense, comp):
@@ -193,7 +201,9 @@ def test_compressed_sliding_window_lossless_matches_dense():
 
     dense_eng = EngineConfig(model=model, cache_mode=CacheMode.DENSE,
                              max_seq_len=1024, prefill_bucket=256)
-    dense = Generator(dense_eng, params, dtype=jnp.bfloat16).generate(prompt, 30)
+    dense_gen = Generator(dense_eng, params, dtype=jnp.bfloat16)
+    dense_gen.cache_impl = DenseKVCache(dense_eng, stacked_decode=False)
+    dense = dense_gen.generate(prompt, 30)
 
     comp_eng = EngineConfig(model=model, cache_mode=CacheMode.COMPRESSED,
                             prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
