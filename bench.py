@@ -104,6 +104,18 @@ def main(batch=None, prompt_len=None, gen_tokens=None):
     dense_tps, dense_dt, (hbm_dense, _) = build(
         dense_eng, params, jnp.bfloat16, prompt, gen_tokens)
 
+    # weight-only int8 serving (models/quant.py): same engines, quantized
+    # weights — halves the weight streaming that dominates the decode step.
+    # Kept out of the headline (the reference is fp16-weight; vs_baseline
+    # stays the sparse/dense ratio at reference precision) but reported.
+    from mustafar_tpu.models.quant import quantize_params
+    qparams = jax.block_until_ready(quantize_params(params, donate=True))
+    del params
+    sparse_w8_tps, _, (hbm_sparse_w8, _) = build(
+        sparse_eng, qparams, jnp.bfloat16, prompt, gen_tokens)
+    dense_w8_tps, _, _ = build(
+        dense_eng, qparams, jnp.bfloat16, prompt, gen_tokens)
+
     print(json.dumps({
         "metric": "sparse_decode_throughput",
         "value": round(sparse_tps, 1),
@@ -121,6 +133,9 @@ def main(batch=None, prompt_len=None, gen_tokens=None):
             "hbm_sparse_gib": hbm_sparse,
             "hbm_dense_gib": hbm_dense,
             "hbm_kind": hbm_kind,
+            "sparse_w8_tok_s": round(sparse_w8_tps, 1),
+            "dense_w8_tok_s": round(dense_w8_tps, 1),
+            "hbm_sparse_w8_gib": hbm_sparse_w8,
             "backend": jax.default_backend(),
         },
     }))

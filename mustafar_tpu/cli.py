@@ -42,6 +42,9 @@ def _add_engine_args(p: argparse.ArgumentParser):
                    help="compressed-chunk codec: bitmap-packed sparse "
                         "(capacity-optimal) or quantized-dense "
                         "(latency-optimal; q8q4 matches bitmap compression)")
+    p.add_argument("--weights", default="bf16", choices=["bf16", "int8"],
+                   help="weight-only quantization (int8: half the weight "
+                        "streaming/residency; models/quant.py)")
 
 
 def _build_engine(args, model_cfg):
@@ -76,6 +79,9 @@ def cmd_predict(args):
     from mustafar_tpu.runtime.generate import Generator
 
     cfg, params = load_hf_dir(args.model, dtype=jnp.bfloat16)
+    if getattr(args, "weights", "bf16") == "int8":
+        from mustafar_tpu.models.quant import quantize_params
+        params = quantize_params(params)
     tokenizer = AutoTokenizer.from_pretrained(args.model)
     eng = _build_engine(args, cfg)
     gen = Generator(eng, params)

@@ -392,17 +392,30 @@ def run_accuracy(ckpt_dir: str, out_dir: str, n_rows: int = 40,
     grid = [("dense", 0.0)] + [(m, s) for m in modes for s in sparsities]
     results = {}
     ref_logits = None
+    qparams = None
     for mode, s in grid:
-        name = "dense" if mode == "dense" else f"{mode}@{s}"
+        # a "+w8" suffix runs the variant with weight-only int8 params
+        # (models/quant.py) — isolates weight-quant accuracy on top of the
+        # KV-pruning grid.
+        run_params = params
+        if mode.endswith("+w8"):
+            from mustafar_tpu.models.quant import quantize_params
+            if qparams is None:
+                qparams = quantize_params(params)
+            run_params, mode = qparams, mode[: -len("+w8")]
+        name = ("dense" if mode == "dense" else f"{mode}@{s}") \
+            + ("+w8" if run_params is qparams else "")
+        if name in results:   # e.g. dense+w8 is sparsity-independent
+            continue
         eng = _engine(cfg, mode, s, max_seq)
-        gen = Generator(eng, params, dtype=jnp.float32)
+        gen = Generator(eng, run_params, dtype=jnp.float32)
         pc = PredictConfig(model_name=cfg.name, max_length=max_seq - 64,
                            out_dir=os.path.join(out_dir, name))
         preds = predict_dataset(gen, tok, "passkey", rows, pc,
                                 eos_id=EOS_ID, progress=False)
         acc = scorer("passkey", [p["pred"] for p in preds],
                      [p["answers"] for p in preds], None)
-        nll, logits = score_nll(eng, params, nll_toks)
+        nll, logits = score_nll(eng, run_params, nll_toks)
         ent = {"passkey_acc": acc, "nll": round(nll, 4),
                "ppl_bits": round(nll / np.log(2), 4)}
         if mode == "dense":

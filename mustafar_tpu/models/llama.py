@@ -74,28 +74,31 @@ def _mlp(lp: dict, h: jnp.ndarray) -> jnp.ndarray:
     B=32/T=3.5k/I=14336 — measured the top HLO temp); computing it in
     _MLP_SEG-token segments bounds the temp without touching cache logic.
     """
+    from mustafar_tpu.models.quant import proj
     B, T, H = h.shape
     if T <= _MLP_SEG or T % _MLP_SEG:
-        return (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+        return proj(jax.nn.silu(proj(h, lp, "w_gate")) * proj(h, lp, "w_up"),
+                    lp, "w_down")
     n = T // _MLP_SEG
     hs = jnp.swapaxes(h.reshape(B, n, _MLP_SEG, H), 0, 1)      # [n, B, seg, H]
     out = jax.lax.map(
-        lambda seg: (jax.nn.silu(seg @ lp["w_gate"]) * (seg @ lp["w_up"]))
-        @ lp["w_down"], hs)
+        lambda seg: proj(jax.nn.silu(proj(seg, lp, "w_gate"))
+                         * proj(seg, lp, "w_up"), lp, "w_down"), hs)
     return jnp.swapaxes(out, 0, 1).reshape(B, T, H)
 
 
 def _layer(cfg: ModelConfig, lp: dict, x: jnp.ndarray, cos, sin, attend_fn, lc):
     """One decoder layer. x: [B,T,H]; attend_fn(lc, q, k, v) -> (out, lc)."""
+    from mustafar_tpu.models.quant import proj
     B, T, H = x.shape
     h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-    q = (h @ lp["wq"]).reshape(B, T, cfg.num_heads, cfg.head_dim)
-    kk = (h @ lp["wk"]).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
-    vv = (h @ lp["wv"]).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    q = proj(h, lp, "wq").reshape(B, T, cfg.num_heads, cfg.head_dim)
+    kk = proj(h, lp, "wk").reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    vv = proj(h, lp, "wv").reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
     q = apply_rope(q, cos, sin)
     kk = apply_rope(kk, cos, sin)
     attn_out, lc = attend_fn(lc, q, kk, vv)
-    x = x + attn_out.reshape(B, T, cfg.q_dim) @ lp["wo"]
+    x = x + proj(attn_out.reshape(B, T, cfg.q_dim), lp, "wo")
     h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
     x = x + _mlp(lp, h)
     return x, lc
@@ -113,7 +116,8 @@ def forward(cfg: ModelConfig, params: dict, tokens: jnp.ndarray, cache: Any,
     [B, T, V] fp32 (e.g. 14.7 GiB at B=32/T=3.5k/V=32k) and only the last row
     feeds generation.  Returns (logits, new cache).
     """
-    x = params["embed"][tokens]
+    from mustafar_tpu.models.quant import embed_lookup
+    x = embed_lookup(params, tokens, params["final_norm"].dtype)
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
 
     # Three cache-threading mechanisms, chosen by the cache impl per mode:
@@ -218,9 +222,20 @@ def forward(cfg: ModelConfig, params: dict, tokens: jnp.ndarray, cache: Any,
         else:
             idx = jnp.maximum(aux - 1, 0)
         x = jax.lax.dynamic_slice_in_dim(x, idx, 1, axis=1)
-    head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
-    logits = (x @ head.astype(x.dtype)).astype(jnp.float32)
+    logits = _lm_head(cfg, params, x)
     return logits, new_cache
+
+
+def _lm_head(cfg: ModelConfig, params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """fp32 logits; int8 heads dequantize per vocab column in the dot."""
+    if cfg.tie_word_embeddings:
+        head, scale = params["embed"].T, params.get("embed_scale")
+    else:
+        head, scale = params["lm_head"], params.get("lm_head_scale")
+    logits = (x @ head.astype(x.dtype)).astype(jnp.float32)
+    if head.dtype == jnp.int8:
+        logits = logits * scale
+    return logits
 
 
 def lm_forward(cfg: ModelConfig, params: dict, tokens: jnp.ndarray,
@@ -231,8 +246,9 @@ def lm_forward(cfg: ModelConfig, params: dict, tokens: jnp.ndarray,
     training path; this exists so accuracy evidence can be produced on real
     learned weights — see harness/tinylm.py).  Differentiable end to end.
     """
+    from mustafar_tpu.models.quant import embed_lookup
     B, T = tokens.shape
-    x = params["embed"][tokens]
+    x = embed_lookup(params, tokens, params["final_norm"].dtype)
     cos, sin = rope_cos_sin(jnp.arange(T), cfg.head_dim, cfg.rope_theta,
                             cfg.rope_scaling)
     tl = T if true_len is None else true_len
@@ -247,8 +263,7 @@ def lm_forward(cfg: ModelConfig, params: dict, tokens: jnp.ndarray,
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
-    return (x @ head.astype(x.dtype)).astype(jnp.float32)
+    return _lm_head(cfg, params, x)
 
 
 def prefill(cfg: ModelConfig, params, tokens, cache, cache_impl, true_len,

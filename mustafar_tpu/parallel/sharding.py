@@ -39,6 +39,7 @@ def param_specs(cfg: ModelConfig) -> dict:
     """
     return {
         "embed": P(None, None),
+        "embed_scale": P(None,),
         "layers": {
             "attn_norm": P(None, None),
             "wq": P(None, None, "model"),
@@ -49,9 +50,20 @@ def param_specs(cfg: ModelConfig) -> dict:
             "w_gate": P(None, None, "model"),
             "w_up": P(None, None, "model"),
             "w_down": P(None, "model", None),
+            # W8 per-output-channel scales follow their weight's output axis
+            # (models/quant.py): column-parallel outputs shard over "model",
+            # row-parallel outputs are replicated like their psum result.
+            "wq_scale": P(None, "model"),
+            "wk_scale": P(None, "model"),
+            "wv_scale": P(None, "model"),
+            "wo_scale": P(None, None),
+            "w_gate_scale": P(None, "model"),
+            "w_up_scale": P(None, "model"),
+            "w_down_scale": P(None, None),
         },
         "final_norm": P(None,),
         "lm_head": P(None, "model"),
+        "lm_head_scale": P("model",),
     }
 
 
@@ -132,7 +144,11 @@ def shard_pytree(tree, specs, mesh: Mesh):
 
 
 def filter_specs_for(params: dict, specs: dict) -> dict:
-    """Drop spec entries absent from params (e.g. lm_head when tied)."""
-    if "lm_head" in specs and "lm_head" not in params:
-        specs = {k: v for k, v in specs.items() if k != "lm_head"}
-    return specs
+    """Drop spec entries absent from params (lm_head when tied; the W8
+    ``*_scale`` leaves for unquantized params)."""
+    out = {}
+    for k, v in specs.items():
+        if k not in params:
+            continue
+        out[k] = filter_specs_for(params[k], v) if isinstance(v, dict) else v
+    return out
