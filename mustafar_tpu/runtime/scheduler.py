@@ -1,4 +1,4 @@
-"""Continuous-batching decode scheduler (slot-based, single host).
+"""Continuous-batching decode scheduler (slot-based).
 
 New capability vs the reference, whose only batching is a static batch of
 identical prompts through HF generate (mem_spd_test.py:66-78; SURVEY.md §2.6).
@@ -14,7 +14,10 @@ Design:
     prune-on-window-exit rule, and (compressed mode) per-slot chunk counts
     plus vectorized chunk compaction all handle slots at different lengths.
 
-Supports dense, masked (token policies), and compressed cache modes.
+Supports dense, masked (token policies), and compressed cache modes, on a
+single device or over a dp x tp ``jax.sharding.Mesh`` (slots shard over
+"data", heads over "model"; per-request batch-1 prefills run mesh-less and
+insert into the sharded slot cache — tests/test_scheduler_sharded.py).
 """
 
 from __future__ import annotations
@@ -45,7 +48,8 @@ class ContinuousBatchingEngine:
     """FCFS slot scheduler over a jitted batched decode step."""
 
     def __init__(self, engine: EngineConfig, params, dtype=jnp.bfloat16,
-                 eos_id: Optional[int] = None, use_native: bool = True):
+                 eos_id: Optional[int] = None, use_native: bool = True,
+                 mesh=None):
         self.engine = engine
         self.cfg = engine.model
         self.params = params
@@ -53,7 +57,25 @@ class ContinuousBatchingEngine:
         self.eos_id = eos_id
         self.B = engine.batch_size
         self.impl = make_cache(engine)
-        self.cache = self.impl.init(self.B, dtype)
+        # per-request prefill runs batch-1 (not dp-shardable); it uses a
+        # mesh-less impl (pure GSPMD, no shard_map) and inserts into the
+        # sharded slot cache, while the batched decode/compact steps run the
+        # mesh impl (head-local shard_map kernels in compressed mode)
+        self.mesh = mesh
+        self.prefill_impl = self.impl
+        if mesh is not None:
+            from mustafar_tpu.parallel import sharding as sh
+            dp = mesh.shape.get("data", 1)
+            assert self.B % dp == 0, (self.B, dict(mesh.shape))
+            self.impl.mesh = mesh
+            self.prefill_impl = make_cache(engine)
+            pspecs = sh.filter_specs_for(params, sh.param_specs(self.cfg))
+            self.params = sh.shard_pytree(params, pspecs, mesh)
+            cache = self.impl.init(self.B, dtype)
+            self.cache = sh.shard_pytree(cache, sh.cache_specs(engine, cache),
+                                         mesh)
+        else:
+            self.cache = self.impl.init(self.B, dtype)
         # host-side slot state (bookkeeping mirrored in the native C++ core
         # when available — mustafar_tpu/native/scheduler.cpp)
         self.native = None
@@ -113,7 +135,7 @@ class ContinuousBatchingEngine:
         assert T + req.max_new_tokens <= self.engine.max_seq_len, req.uid
         key = Tpad
         if key not in self._prefill_fns:
-            impl = self.impl
+            impl = self.prefill_impl
 
             def prefill_one(params, toks, true_len, cache, slot_idx):
                 sub = impl.init(1, self.dtype)

@@ -1,0 +1,55 @@
+"""Continuous batching over a dp x tp mesh (north star: distributed serving).
+
+Drives the slot scheduler with a sharded cache + params on the 8-virtual-
+device CPU mesh and requires token-exact agreement with the single-device
+run.  Uses the TRAINED tiny checkpoint (ckpt/tiny-acc) — real logit margins
+make greedy decoding robust to sharded-reduction rounding, unlike random
+init where near-flat margins decorrelate chains by design.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import pytest
+
+from mustafar_tpu.config import CacheMode, EngineConfig, PruneConfig, PruneMethod
+from mustafar_tpu.harness.tinylm import load_ckpt
+from mustafar_tpu.parallel import sharding as sh
+from mustafar_tpu.runtime.scheduler import ContinuousBatchingEngine
+
+CKPT = "ckpt/tiny-acc"
+
+
+def _engine(cfg, mode, codec):
+    return EngineConfig(model=cfg, cache_mode=mode,
+                        prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                                          k_sparsity=0.5, v_sparsity=0.5),
+                        max_seq_len=1024, prefill_bucket=256, chunk_size=256,
+                        codec=codec, batch_size=4)
+
+
+def _drive(eng, params, mesh):
+    cb = ContinuousBatchingEngine(eng, params, dtype=jnp.float32, mesh=mesh)
+    rs = np.random.RandomState(3)
+    reqs = [(120, 10), (280, 30), (530, 25), (64, 12), (300, 20)]
+    uids = [cb.submit(rs.randint(0, 256, size=n), m) for n, m in reqs]
+    outs = cb.run()
+    assert sorted(outs) == sorted(uids)
+    for uid, (_, m) in zip(uids, reqs):
+        assert len(outs[uid]) == m, (uid, len(outs[uid]))
+    return outs
+
+
+@pytest.mark.parametrize("mode,codec", [
+    (CacheMode.COMPRESSED, "q8q4"), (CacheMode.MASKED, "bitmap")])
+def test_continuous_batching_sharded_matches_single_device(mode, codec):
+    assert len(jax.devices()) >= 8
+    cfg, params = load_ckpt(CKPT)
+
+    ref = _drive(_engine(cfg, mode, codec), params, mesh=None)
+    mesh = sh.make_mesh(dp=2, tp=2)
+    got = _drive(_engine(cfg, mode, codec), params, mesh=mesh)
+
+    for uid in ref:
+        np.testing.assert_array_equal(ref[uid], got[uid], err_msg=str(uid))
