@@ -117,7 +117,8 @@ def cmd_bench(args):
 def cmd_train_tiny(args):
     from mustafar_tpu.harness import tinylm
     tinylm.train(args.out, steps=args.steps, batch=args.batch, seq=args.seq,
-                 lr=args.lr, seed=args.seed)
+                 lr=args.lr, seed=args.seed, hidden=args.hidden,
+                 layers=args.layers)
     print(f"checkpoint written to {args.out}")
 
 
@@ -125,7 +126,8 @@ def cmd_accuracy(args):
     from mustafar_tpu.harness import tinylm
     res = tinylm.run_accuracy(
         args.ckpt, args.out, n_rows=args.rows, ctx_bytes=args.ctx,
-        sparsities=tuple(args.sparsities), modes=tuple(args.modes))
+        sparsities=tuple(args.sparsities), modes=tuple(args.modes),
+        depths=tuple(args.depths) if args.depths else None)
     print(json.dumps(res, indent=2))
 
 
@@ -166,6 +168,8 @@ def main(argv=None):
     p.add_argument("--seq", type=int, default=2048)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--hidden", type=int, default=None)
+    p.add_argument("--layers", type=int, default=None)
     p.set_defaults(fn=cmd_train_tiny)
 
     p = sub.add_parser("accuracy",
@@ -176,6 +180,8 @@ def main(argv=None):
     p.add_argument("--ctx", type=int, default=1600)
     p.add_argument("--sparsities", nargs="*", type=float, default=[0.5, 0.7])
     p.add_argument("--modes", nargs="*", default=["masked", "compressed"])
+    p.add_argument("--depths", nargs="*", type=float, default=None,
+                   help="fixed needle depths (adds per-depth accuracy)")
     p.set_defaults(fn=cmd_accuracy)
 
     args = parser.parse_args(argv)

@@ -176,12 +176,22 @@ def make_training_batch(corpus: str, rng: np.random.RandomState,
 
 def train(out_dir: str, steps: int = 3000, batch: int = 8, seq: int = 2048,
           lr: float = 1e-3, seed: int = 0, inner: int = 25,
-          log=print) -> dict:
+          hidden: int = None, layers: int = None, log=print) -> dict:
     import optax
 
     from mustafar_tpu.models import llama
 
     cfg = TINY_ACC
+    if hidden or layers:
+        # longer-context retrieval needs more induction capacity than the
+        # default 4-layer/256-hidden model (measured: it retrieves ~100% at
+        # 1.6k-byte contexts but chance-level at 3.6k)
+        cfg = dataclasses.replace(
+            cfg, hidden_size=hidden or cfg.hidden_size,
+            intermediate_size=3 * (hidden or cfg.hidden_size),
+            num_layers=layers or cfg.num_layers,
+            name=f"tiny-acc-h{hidden or cfg.hidden_size}"
+                 f"L{layers or cfg.num_layers}")
     corpus = load_corpus(seed=seed)
     rng = np.random.RandomState(seed)
     params = llama.init_params(cfg, jax.random.PRNGKey(seed), dtype=jnp.float32)
@@ -365,12 +375,17 @@ def kl_vs(logits_ref, logits_other) -> float:
 def run_accuracy(ckpt_dir: str, out_dir: str, n_rows: int = 40,
                  ctx_bytes: int = 1600, sparsities=(0.5, 0.7),
                  modes=("masked", "compressed"), seed: int = 1234,
-                 nll_tokens: int = 1024, log=print) -> dict:
+                 nll_tokens: int = 1024, depths=None, log=print) -> dict:
     """Dense vs pruned accuracy grid on the trained tiny model.
 
     Passkey retrieval runs through the real harness (predict_dataset ->
     jsonl -> scorer with the 'passkey' digit-EM metric); NLL/KL run through
     score_nll (production decode path).  Writes <out_dir>/result.json.
+
+    ``depths``: optional tuple of needle depths (fractions into the
+    context).  When given, rows are placed at those fixed depths round-robin
+    and each variant additionally reports per-depth accuracy
+    (needle-in-a-haystack breakdown — the standard long-context probe).
     """
     from mustafar_tpu.harness.longbench import PredictConfig, predict_dataset, scorer
     from mustafar_tpu.runtime.generate import Generator
@@ -380,7 +395,13 @@ def run_accuracy(ckpt_dir: str, out_dir: str, n_rows: int = 40,
     rng = np.random.RandomState(seed)
     tok = ByteTokenizer()
 
-    rows = [make_passkey_row(corpus, rng, ctx_bytes) for _ in range(n_rows)]
+    if depths:
+        row_depths = [depths[i % len(depths)] for i in range(n_rows)]
+        rows = [make_passkey_row(corpus, rng, ctx_bytes, depth=d)
+                for d in row_depths]
+    else:
+        row_depths = None
+        rows = [make_passkey_row(corpus, rng, ctx_bytes) for _ in range(n_rows)]
     # held-out text for NLL (disjoint seed from training)
     nll_toks = np.stack([
         np.asarray([BOS_ID] + list(_filler(corpus, rng, nll_tokens + 8)
@@ -418,6 +439,13 @@ def run_accuracy(ckpt_dir: str, out_dir: str, n_rows: int = 40,
         nll, logits = score_nll(eng, run_params, nll_toks)
         ent = {"passkey_acc": acc, "nll": round(nll, 4),
                "ppl_bits": round(nll / np.log(2), 4)}
+        if row_depths is not None:
+            per = {}
+            for d, p in zip(row_depths, preds):
+                per.setdefault(d, []).append(
+                    passkey_score(p["pred"], p["answers"][0]))
+            ent["acc_by_depth"] = {f"{d:.2f}": round(100 * np.mean(v), 1)
+                                   for d, v in sorted(per.items())}
         if mode == "dense":
             ref_logits = logits
         else:
