@@ -25,11 +25,14 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--prompt", type=int, default=4096)
     ap.add_argument("--gen", type=int, default=256)
+    ap.add_argument("--w4", action="store_true",
+                    help="int4 blocked weights instead of int8")
     args = ap.parse_args()
 
     from mustafar_tpu.config import (CacheMode, EngineConfig, LLAMA3_8B,
                                      PruneConfig, PruneMethod)
-    from mustafar_tpu.models.quant import init_params_w8, weight_bytes
+    from mustafar_tpu.models.quant import (init_params_w4,
+                                           init_params_w8, weight_bytes)
     from mustafar_tpu.runtime.generate import Generator
 
     cfg = LLAMA3_8B                      # FULL geometry: 32L, vocab 128256
@@ -37,9 +40,11 @@ def main():
     max_seq = ((T + G + 255) // 256) * 256 + 288
 
     t0 = time.perf_counter()
-    params = jax.block_until_ready(init_params_w8(cfg, jax.random.PRNGKey(0)))
+    init = init_params_w4 if args.w4 else init_params_w8
+    wtag = "w4" if args.w4 else "w8"
+    params = jax.block_until_ready(init(cfg, jax.random.PRNGKey(0)))
     wgib = weight_bytes(params) / 2**30
-    print(f"W8 params ready: {wgib:.2f} GiB "
+    print(f"{wtag} params ready: {wgib:.2f} GiB "
           f"({time.perf_counter() - t0:.0f}s)", flush=True)
 
     eng = EngineConfig(
@@ -62,14 +67,14 @@ def main():
     t_all = time.perf_counter() - t0
     dec_t = max(t_all - t_pre, 1e-6)
     result = {
-        "metric": "full_llama3_8b_w8",
+        "metric": f"full_llama3_8b_{wtag}",
         "batch": B, "prompt": T, "gen": G,
         "weights_gib": round(wgib, 2),
         "prefill_tok_s": round(B * T / t_pre, 1),
         "decode_tok_s": round(B * (G - 8) / dec_t, 1),
         "resident_gib": round(resident, 2),
     }
-    print(f"full-8B W8 q8q4 @ B{B}/T{T}: prefill "
+    print(f"full-8B {wtag} q8q4 @ B{B}/T{T}: prefill "
           f"{result['prefill_tok_s']} tok/s, decode "
           f"{result['decode_tok_s']} tok/s, resident {resident:.2f} GiB",
           flush=True)

@@ -413,19 +413,20 @@ def run_accuracy(ckpt_dir: str, out_dir: str, n_rows: int = 40,
     grid = [("dense", 0.0)] + [(m, s) for m in modes for s in sparsities]
     results = {}
     ref_logits = None
-    qparams = None
+    qcache = {}
     for mode, s in grid:
-        # a "+w8" suffix runs the variant with weight-only int8 params
-        # (models/quant.py) — isolates weight-quant accuracy on top of the
-        # KV-pruning grid.
-        run_params = params
-        if mode.endswith("+w8"):
-            from mustafar_tpu.models.quant import quantize_params
-            if qparams is None:
-                qparams = quantize_params(params)
-            run_params, mode = qparams, mode[: -len("+w8")]
-        name = ("dense" if mode == "dense" else f"{mode}@{s}") \
-            + ("+w8" if run_params is qparams else "")
+        # a "+w8"/"+w4" suffix runs the variant with weight-only int8/int4
+        # params (models/quant.py) — isolates weight-quant accuracy on top
+        # of the KV-pruning grid.
+        run_params, wtag = params, ""
+        for tag in ("+w8", "+w4"):
+            if mode.endswith(tag):
+                if tag not in qcache:
+                    from mustafar_tpu.models import quant
+                    qcache[tag] = (quant.quantize_params(params) if tag ==
+                                   "+w8" else quant.quantize_params_w4(params))
+                run_params, mode, wtag = qcache[tag], mode[: -len(tag)], tag
+        name = ("dense" if mode == "dense" else f"{mode}@{s}") + wtag
         if name in results:   # e.g. dense+w8 is sparsity-independent
             continue
         eng = _engine(cfg, mode, s, max_seq)

@@ -144,11 +144,21 @@ def shard_pytree(tree, specs, mesh: Mesh):
 
 
 def filter_specs_for(params: dict, specs: dict) -> dict:
-    """Drop spec entries absent from params (lm_head when tied; the W8
-    ``*_scale`` leaves for unquantized params)."""
+    """Drop spec entries absent from params (lm_head when tied; the
+    ``*_scale`` leaves for unquantized params) and rank-adapt scale specs:
+    W4 blocked scales carry an extra contraction-block axis ahead of the
+    out-channel axis ([..., nb, out] vs W8's [..., out]) — insert a
+    replicated axis so the out-channel sharding still lines up."""
     out = {}
     for k, v in specs.items():
         if k not in params:
             continue
-        out[k] = filter_specs_for(params[k], v) if isinstance(v, dict) else v
+        if isinstance(v, dict):
+            out[k] = filter_specs_for(params[k], v)
+            continue
+        leaf = params[k]
+        ndim = getattr(leaf, "ndim", None)
+        if ndim is not None and ndim == len(v) + 1 and k.endswith("_scale"):
+            v = type(v)(*v[:-1], None, v[-1])
+        out[k] = v
     return out

@@ -55,6 +55,72 @@ def test_w8_logits_close_to_bf16():
     assert float(kl) < 0.05, float(kl)
 
 
+def test_w4_roundtrip_error_bound():
+    w = jax.random.normal(jax.random.PRNGKey(4), (256, 96), jnp.float32)
+    q, s = quant._quant_block4(w, 128)
+    deq = (q.astype(jnp.float32).reshape(2, 128, 96)
+           * s[:, None, :]).reshape(256, 96)
+    # symmetric blocked int4: |err| <= scale/2 = max|w_block_col| / 14
+    bound = (jnp.max(jnp.abs(w.reshape(2, 128, 96)), axis=1) / 14.0 + 1e-7)
+    err = jnp.abs(deq - w).reshape(2, 128, 96)
+    assert jnp.all(err <= bound[:, None, :] * 1.001)
+
+
+def test_w4_params_shapes_and_idempotence():
+    params = init_params(MODEL, jax.random.PRNGKey(5), dtype=jnp.bfloat16)
+    qp = quant.quantize_params_w4(params)
+    L = MODEL.num_layers
+    assert qp["layers"]["w_gate"].dtype == jnp.int4
+    # hidden 128 -> one 128-block along the in axis
+    assert qp["layers"]["w_gate_scale"].shape == (L, 1,
+                                                  MODEL.intermediate_size)
+    assert qp["embed"].dtype == jnp.int8   # embed stays W8 (gathered)
+    qp2 = quant.quantize_params_w4(qp)
+    assert qp2["layers"]["w_gate"] is qp["layers"]["w_gate"]
+
+
+def test_w4_blocked_and_dequant_paths_agree():
+    # proj() picks blocked-partials (decode) vs transient-dequant (prefill)
+    # by static token count; both must compute the same linear map.
+    key = jax.random.PRNGKey(6)
+    w = jax.random.normal(key, (256, 192), jnp.float32) / 16.0
+    q, s = quant._quant_block4(w, 128)
+    lp = {"w": q, "w_scale": s}
+    h = jax.random.normal(jax.random.PRNGKey(7), (4, 256), jnp.float32)
+    small = quant.proj(h, lp, "w")                       # tokens=4 (blocked)
+    big = quant.proj(jnp.tile(h, (32, 1)), lp, "w")[:4]  # tokens=128 (dequant)
+    np.testing.assert_allclose(np.asarray(small), np.asarray(big),
+                               rtol=0, atol=2e-5)
+
+
+def test_w4_logits_close_to_bf16():
+    params = init_params(MODEL, jax.random.PRNGKey(8), dtype=jnp.bfloat16)
+    qp = quant.quantize_params_w4(params)
+    toks = jnp.asarray(np.random.RandomState(2).randint(0, 512, (2, 64)))
+    pf = jax.nn.log_softmax(lm_forward(MODEL, params, toks), -1)
+    pq = jax.nn.log_softmax(lm_forward(MODEL, qp, toks), -1)
+    kl = jnp.sum(jnp.exp(pf) * (pf - pq), -1).mean()
+    # 4-bit blocked: looser than W8 but must stay a faithful model
+    assert float(kl) < 0.2, float(kl)
+
+
+def test_w4_generation_all_cache_modes():
+    params = init_params(MODEL, jax.random.PRNGKey(9), dtype=jnp.bfloat16)
+    qp = quant.quantize_params_w4(params)
+    prompt = np.random.RandomState(3).randint(0, 512, size=(2, 300))
+    for mode, codec in [(CacheMode.DENSE, "bitmap"),
+                        (CacheMode.MASKED, "bitmap"),
+                        (CacheMode.COMPRESSED, "q8q4")]:
+        eng = EngineConfig(model=MODEL, cache_mode=mode,
+                           prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                                             k_sparsity=0.5, v_sparsity=0.5),
+                           max_seq_len=1024, prefill_bucket=256,
+                           chunk_size=256, codec=codec)
+        out = Generator(eng, qp, dtype=jnp.bfloat16).generate(
+            prompt, max_new_tokens=40)
+        assert all(len(o) == 40 for o in out), mode
+
+
 def test_w8_generation_all_cache_modes():
     params = init_params(MODEL, jax.random.PRNGKey(3), dtype=jnp.bfloat16)
     qp = quant.quantize_params(params)
