@@ -227,14 +227,14 @@ def forward(cfg: ModelConfig, params: dict, tokens: jnp.ndarray, cache: Any,
 
 
 def _lm_head(cfg: ModelConfig, params: dict, x: jnp.ndarray) -> jnp.ndarray:
-    """fp32 logits; int8/int4 heads dequantize per vocab column in the dot."""
+    """fp32 logits; int8 heads dequantize per vocab column in the dot.
+
+    (W4 keeps the LM head at int8 — logits are the most quantization-
+    sensitive tensor and the 128k vocab tiles poorly; models/quant.py.)"""
     if cfg.tie_word_embeddings:
         head, scale = params["embed"].T, params.get("embed_scale")
     else:
         head, scale = params["lm_head"], params.get("lm_head_scale")
-    if head.dtype == jnp.int4:
-        from mustafar_tpu.models.quant import _blocked_dot
-        return _blocked_dot(x, head, scale).astype(jnp.float32)
     logits = (x @ head.astype(x.dtype)).astype(jnp.float32)
     if head.dtype == jnp.int8:
         logits = logits * scale

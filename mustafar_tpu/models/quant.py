@@ -51,12 +51,16 @@ def _quant_rows(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return q, s[..., 0]
 
 
-def _quant_block4(w: jnp.ndarray, block: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+def _quant_block4(w: jnp.ndarray, block: int = 128
+                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric int4 with per-(contraction-block, out-channel) scales.
 
     Per-channel scales are enough at 8 bits but too coarse at 4; blocked
     scales along the `in` axis (GPTQ/AWQ-style, block 128) recover most of
-    the loss.  w [..., in, out] -> q int4 same shape, s f32 [..., in/block, out].
+    the loss.  w [..., in, out] -> codes int8 in [-7, 7] same shape,
+    s f32 [..., in/block, out].  Codes are carried in int8 here and packed
+    into int16 nibble carriers by pack_w4 (native s4 arrays cannot cross
+    jit boundaries on the axon backend — see ops/kernels/w4_matmul.py).
     """
     wf = w.astype(jnp.float32)
     *lead, din, dout = wf.shape
@@ -64,8 +68,35 @@ def _quant_block4(w: jnp.ndarray, block: int) -> tuple[jnp.ndarray, jnp.ndarray]
     wb = wf.reshape(*lead, nb, block, dout)
     amax = jnp.max(jnp.abs(wb), axis=-2, keepdims=True)
     s = jnp.maximum(amax / 7.0, 1e-12)
-    q = jnp.clip(jnp.round(wb / s), -7, 7).astype(jnp.int4)
+    q = jnp.clip(jnp.round(wb / s), -7, 7).astype(jnp.int8)
     return q.reshape(*lead, din, dout), s.squeeze(-2)
+
+
+def pack_w4(codes: jnp.ndarray) -> jnp.ndarray:
+    """int4 codes (int8 carrier) [..., din, out] -> int16 [..., din/4, out].
+
+    Block-LOCAL nibble layout: within each 128-row scale block b, carrier
+    row (b*32 + r) holds in-rows (b*128 + j*32 + r) in nibble j, so a
+    tensor-parallel shard of the contraction axis (cut at 128-row
+    granularity) packs/unpacks entirely within its own shard.
+    """
+    *lead, din, dout = codes.shape
+    nb = din // 128
+    c = codes.astype(jnp.int32).reshape(*lead, nb, 4, 32, dout)
+    v = jnp.zeros(tuple(lead) + (nb, 32, dout), jnp.int32)
+    for j in range(4):
+        v = v | ((c[..., j, :, :] & 15) << (4 * j))
+    v = (v << 16) >> 16
+    return v.astype(jnp.int16).reshape(*lead, din // 4, dout)
+
+
+def unpack_w4(carriers: jnp.ndarray) -> jnp.ndarray:
+    """int16 [..., din/4, out] -> int4 codes as int32 [..., din, out]."""
+    *lead, rq, dout = carriers.shape
+    nb = rq // 32
+    w32 = carriers.astype(jnp.int32).reshape(*lead, nb, 32, dout)
+    blocks = [(w32 << (32 - 4 * (j + 1))) >> 28 for j in range(4)]
+    return jnp.concatenate(blocks, axis=-2).reshape(*lead, rq * 4, dout)
 
 
 def quantize_params(params: dict, donate: bool = False) -> dict:
@@ -108,86 +139,80 @@ def proj(h: jnp.ndarray, lp: dict, name: str) -> jnp.ndarray:
 
     int8: the astype + per-out-channel scale fuse into the dot (weight-only
     -quant XLA pattern); scale * int8 products stay well inside bf16 range.
-    int4: scales are per (contraction block, out channel), so they cannot
-    move past the full contraction — the dot runs blocked (batch dim = block
-    index) on the raw widened int4 and the scales multiply the [..., nb, out]
-    PARTIALS before the block-sum.  The weight read stays a pure convert
-    (fusable); nothing dequantized is ever materialized.
+    int4 (int16 nibble carriers): see _w4_dot.
     """
     w = lp[name]
-    if w.dtype == jnp.int4:
-        return _blocked_dot(h, w, lp[name + "_scale"])
+    if w.dtype == jnp.int16:
+        return _w4_dot(h, w, lp[name + "_scale"])
     if w.dtype == jnp.int8:
         return (h @ w.astype(h.dtype)) * lp[name + "_scale"].astype(h.dtype)
     return h @ w
 
 
-def _blocked_dot(h: jnp.ndarray, w: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
-    """h [..., in] @ int4 w [in, out] with scales s [in/block, out].
+def _w4_dot(h: jnp.ndarray, w: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """h [..., in] @ W4 carriers [in/4, out] with scales s [in/128, out].
 
-    Decode (few tokens, weight-streaming-bound): blocked dot — batch dim =
-    block index, f32 partials [..., nb, out] (tiny at T=1), scales applied
-    to the partials.  The weight read stays a pure int4->bf16 convert.
-    Prefill (many tokens, compute-bound): a [..., nb, out] f32 partial
-    buffer would dwarf the weight itself, so dequantize the weight into a
-    transient bf16 copy instead — one extra weight-sized write+read,
-    amortized over every token of the segment.
+    Decode (few tokens, weight-streaming-bound): the Pallas kernel
+    (ops/kernels/w4_matmul.py) streams the packed carriers from HBM and
+    unpacks+dequantizes in VMEM — an XLA-level unpack materializes the
+    dequantized copy and is slower than the plain bf16 dot (measured).
+    Prefill (many tokens, compute-bound): dequantize into a transient bf16
+    copy — one extra weight-sized write+read amortized over the segment —
+    since the kernel's few-row MXU tiles would waste the systolic array.
+    Off-TPU (tests): always the transient-dequant path (the kernel is
+    covered separately in interpret mode).
     """
-    din, dout = w.shape
-    nb = s.shape[0]
+    din4, dout = w.shape
+    nb = s.shape[-2]
     tokens = 1
     for d in h.shape[:-1]:
         tokens *= d
-    if tokens > 64:
-        wf = (w.astype(h.dtype).reshape(nb, din // nb, dout)
-              * s.astype(h.dtype)[:, None, :]).reshape(din, dout)
-        return h @ wf
-    wf = w.astype(h.dtype).reshape(nb, din // nb, dout)
-    hx = h.reshape(*h.shape[:-1], nb, din // nb)
-    # each partial is one 128-term MXU dot (f32 accumulate, one output
-    # round); the scale multiply and nb-way block sum run in f32.  (A
-    # bf16xbf16=f32 dot would skip the round but the CPU backend used for
-    # tests cannot execute it.)
-    partial = jnp.einsum("...nk,nko->...no", hx, wf)
-    return (partial.astype(jnp.float32) * s).sum(-2).astype(h.dtype)
+    if tokens <= 128 and jax.default_backend() == "tpu":
+        from mustafar_tpu.ops.kernels.w4_matmul import w4_matmul
+        out = w4_matmul(h.reshape(tokens, din4 * 4), w, s)
+        return out.reshape(*h.shape[:-1], dout)
+    wf = (unpack_w4(w).astype(h.dtype).reshape(nb, 128, dout)
+          * s.astype(h.dtype)[..., :, None, :]).reshape(din4 * 4, dout)
+    return h @ wf
 
 
-def quantize_params_w4(params: dict, block: int = 128,
-                       donate: bool = False) -> dict:
+def _quant_pack_w4(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    q, s = _quant_block4(w, 128)
+    return pack_w4(q), s.astype(jnp.bfloat16)
+
+
+def quantize_params_w4(params: dict, donate: bool = False) -> dict:
     """Quantize a llama params pytree to weight-only int4 (blocked scales).
 
-    Layer projections and the LM head become int4 with per-(128-block,
-    out-channel) scales; the embedding stays per-row int8 (it is gathered,
-    not streamed — a per-step traffic rounding error — and rows tolerate
-    8-bit better than 4).  Norm weights keep their dtype.  Idempotent.
+    Layer projections become int16 nibble carriers (pack_w4) with
+    per-(128-block, out-channel) bf16 scales, consumed by the Pallas
+    W4 matmul kernel at decode; the embedding AND the LM head stay
+    per-channel int8 (embed is gathered, not streamed; the 128k-vocab head
+    is too lane-odd for efficient kernel tiling and the logits are the
+    most quantization-sensitive tensor).  Norm weights keep their dtype.
+    Idempotent; requires every projection in-dim to be a multiple of 128.
     """
-    q4 = jax.jit(_quant_block4, static_argnums=(1,),
-                 donate_argnums=(0,) if donate else ())
+    q4 = jax.jit(_quant_pack_w4, donate_argnums=(0,) if donate else ())
+    q8 = jax.jit(_quant_last, donate_argnums=(0,) if donate else ())
     qr = jax.jit(_quant_rows, donate_argnums=(0,) if donate else ())
-
-    def blk(din):     # largest divisor of the in dim <= block
-        b = block
-        while din % b:
-            b //= 2
-        return b
-
     out = dict(params)
     layers = dict(params["layers"])
     for name in _LAYER_KEYS:
         w = layers.get(name)
-        if w is None or w.dtype in (jnp.int4, jnp.int8):
+        if w is None or w.dtype in (jnp.int16, jnp.int8):
             continue
-        q, s = q4(w, blk(w.shape[-2]))
+        assert w.shape[-2] % 128 == 0, (name, w.shape)
+        q, s = q4(w)
         layers[name] = q
         layers[name + "_scale"] = s
     out["layers"] = layers
-    if params["embed"].dtype not in (jnp.int4, jnp.int8):
+    if params["embed"].dtype != jnp.int8:
         q, s = qr(params["embed"])
         out["embed"] = q
         out["embed_scale"] = s
-    if "lm_head" in params and params["lm_head"].dtype not in (jnp.int4,
+    if "lm_head" in params and params["lm_head"].dtype not in (jnp.int16,
                                                                jnp.int8):
-        q, s = q4(params["lm_head"], blk(params["lm_head"].shape[-2]))
+        q, s = q8(params["lm_head"])
         out["lm_head"] = q
         out["lm_head_scale"] = s
     return out
@@ -202,11 +227,9 @@ def embed_lookup(params: dict, tokens: jnp.ndarray, dtype) -> jnp.ndarray:
 
 
 def weight_bytes(params: dict) -> int:
-    def nb(x):
-        if x.dtype == jnp.int4:
-            return (x.size + 1) // 2   # XLA packs two s4 per byte in HBM
-        return x.nbytes                # (jax .nbytes reports 1 byte/elt)
-    return sum(nb(x) for x in jax.tree.leaves(params))
+    # W4 carriers are int16 holding 4 codes each, so .nbytes is already the
+    # true 0.5 byte/element HBM footprint.
+    return sum(x.nbytes for x in jax.tree.leaves(params))
 
 
 def init_params_w8(cfg, key: jax.Array) -> dict:
@@ -260,8 +283,8 @@ def init_params_w8(cfg, key: jax.Array) -> dict:
     return params
 
 
-def init_params_w4(cfg, key: jax.Array, block: int = 128) -> dict:
-    """Random-init params directly in W4 (blocked int4; embed stays int8).
+def init_params_w4(cfg, key: jax.Array) -> dict:
+    """Random-init params directly in W4 (nibble carriers; embed/head int8).
 
     Same one-layer-at-a-time generation discipline as init_params_w8 so the
     fp32 temps stay bounded on a 16 GiB chip.
@@ -276,7 +299,7 @@ def init_params_w4(cfg, key: jax.Array, block: int = 128) -> dict:
         @jax.jit
         def gen(kk):
             w = jax.random.normal(kk, (in_dim, out_dim), jnp.float32) * scale
-            return _quant_block4(w, block)
+            return _quant_pack_w4(w)
 
         qs = [gen(kk) for kk in jax.random.split(key, L)]
         return (jnp.stack([a for a, _ in qs]), jnp.stack([b for _, b in qs]))
@@ -289,7 +312,7 @@ def init_params_w4(cfg, key: jax.Array, block: int = 128) -> dict:
     @jax.jit
     def gen_head(kk):
         w = jax.random.normal(kk, (H, cfg.vocab_size), jnp.float32) * 0.02
-        return _quant_block4(w, block)
+        return _quant_last(w)
 
     emb, emb_s = gen_embed(next(k))
     layers = {"attn_norm": jnp.ones((L, H), jnp.bfloat16),

@@ -66,31 +66,45 @@ def test_w4_roundtrip_error_bound():
     assert jnp.all(err <= bound[:, None, :] * 1.001)
 
 
+def test_w4_pack_roundtrip_exact():
+    codes = jax.random.randint(jax.random.PRNGKey(10), (2, 384, 160),
+                               -7, 8, jnp.int8)
+    carriers = quant.pack_w4(codes)
+    assert carriers.dtype == jnp.int16
+    assert carriers.shape == (2, 96, 160)
+    np.testing.assert_array_equal(np.asarray(quant.unpack_w4(carriers)),
+                                  np.asarray(codes.astype(jnp.int32)))
+
+
 def test_w4_params_shapes_and_idempotence():
     params = init_params(MODEL, jax.random.PRNGKey(5), dtype=jnp.bfloat16)
     qp = quant.quantize_params_w4(params)
     L = MODEL.num_layers
-    assert qp["layers"]["w_gate"].dtype == jnp.int4
-    # hidden 128 -> one 128-block along the in axis
+    assert qp["layers"]["w_gate"].dtype == jnp.int16    # nibble carriers
+    # hidden 128 -> 32 carrier rows, one 128-block along the in axis
+    assert qp["layers"]["w_gate"].shape == (L, 32, MODEL.intermediate_size)
     assert qp["layers"]["w_gate_scale"].shape == (L, 1,
                                                   MODEL.intermediate_size)
-    assert qp["embed"].dtype == jnp.int8   # embed stays W8 (gathered)
+    assert qp["embed"].dtype == jnp.int8     # embed stays W8 (gathered)
+    assert quant.weight_bytes(qp) < 0.35 * quant.weight_bytes(params)
     qp2 = quant.quantize_params_w4(qp)
     assert qp2["layers"]["w_gate"] is qp["layers"]["w_gate"]
 
 
-def test_w4_blocked_and_dequant_paths_agree():
-    # proj() picks blocked-partials (decode) vs transient-dequant (prefill)
-    # by static token count; both must compute the same linear map.
+def test_w4_kernel_matches_dequant_path():
+    # the decode-path Pallas kernel (interpret mode here) must compute the
+    # same linear map as the transient-dequant XLA path used at prefill.
+    from mustafar_tpu.ops.kernels.w4_matmul import w4_matmul
     key = jax.random.PRNGKey(6)
-    w = jax.random.normal(key, (256, 192), jnp.float32) / 16.0
+    w = jax.random.normal(key, (256, 384), jnp.float32) / 16.0
     q, s = quant._quant_block4(w, 128)
-    lp = {"w": q, "w_scale": s}
-    h = jax.random.normal(jax.random.PRNGKey(7), (4, 256), jnp.float32)
-    small = quant.proj(h, lp, "w")                       # tokens=4 (blocked)
-    big = quant.proj(jnp.tile(h, (32, 1)), lp, "w")[:4]  # tokens=128 (dequant)
-    np.testing.assert_allclose(np.asarray(small), np.asarray(big),
-                               rtol=0, atol=2e-5)
+    carriers, sb = quant.pack_w4(q), s.astype(jnp.bfloat16)
+    h = jax.random.normal(jax.random.PRNGKey(7), (4, 256), jnp.bfloat16)
+    got = w4_matmul(h, carriers, sb, interpret=True)
+    ref = quant.proj(jnp.tile(h, (32, 1)),           # tokens=128 -> dequant
+                     {"w": carriers, "w_scale": sb}, "w")[:4]
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), rtol=0, atol=0.02)
 
 
 def test_w4_logits_close_to_bf16():
