@@ -6,7 +6,7 @@ alone and prints the per-step op breakdown (benchmarks/parse_trace.py).
 Used to locate non-attention overheads in the decode loop: pool carry
 copies, compaction, LM head, sampling.
 
-    python benchmarks/profile_e2e.py [sparse|dense] [layers] [gen]
+    python benchmarks/profile_e2e.py [sparse|dense] [layers] [gen] [bf16|w8|w4]
 """
 
 import dataclasses
@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(engine_kind="sparse", layers=16, gen=64):
+def main(engine_kind="sparse", layers=16, gen=64, weights="bf16"):
     from mustafar_tpu.cache import make_cache
     from mustafar_tpu.config import (CacheMode, EngineConfig, LLAMA3_8B,
                                      PruneConfig, PruneMethod)
@@ -31,6 +31,10 @@ def main(engine_kind="sparse", layers=16, gen=64):
     B, prompt_len = 32, 300
     max_seq = 1312
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    if weights != "bf16":
+        from mustafar_tpu.models import quant
+        params = (quant.quantize_params(params, donate=True) if weights == "w8"
+                  else quant.quantize_params_w4(params, donate=True))
     params = jax.block_until_ready(params)
     prompt = np.random.RandomState(0).randint(1, cfg.vocab_size,
                                               (B, prompt_len))
@@ -80,4 +84,5 @@ if __name__ == "__main__":
     kind = sys.argv[1] if len(sys.argv) > 1 else "sparse"
     layers = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     gen = int(sys.argv[3]) if len(sys.argv) > 3 else 64
-    main(kind, layers, gen)
+    weights = sys.argv[4] if len(sys.argv) > 4 else "bf16"
+    main(kind, layers, gen, weights)

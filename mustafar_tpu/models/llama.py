@@ -179,9 +179,24 @@ def forward(cfg: ModelConfig, params: dict, tokens: jnp.ndarray, cache: Any,
     xs_cache = {k: v for k, v in cache.items() if k not in skip_xs}
     L = cfg.num_layers
 
+    # W4 nibble carriers follow the STACKED protocol like the compressed
+    # pools: a per-layer scan slice feeding a pallas_call cannot fuse (XLA
+    # materializes the whole [din/4, dout] carrier copy — measured 40
+    # us/projection/layer), so the stacked leaves are closure-captured and
+    # the kernel indexes the layer via scalar prefetch (models/quant.py
+    # _w4_dot, ops/kernels/w4_matmul.py).
+    layers_all = params["layers"]
+    w4_names = tuple(k for k, v in layers_all.items()
+                     if getattr(v, "dtype", None) == jnp.int16)
+    w4_set = set(w4_names) | {k + "_scale" for k in w4_names}
+    lp_stacked = {k: layers_all[k] for k in w4_set}
+    lp_xs = {k: v for k, v in layers_all.items() if k not in w4_set}
+
     def body(carry, layer_in):
         x, carried = carry
         li, lp, lc = layer_in
+        if lp_stacked:
+            lp = dict(lp, _li=li, **lp_stacked)
         if stacked:
             full = dict(ro, **carried)
 
@@ -208,7 +223,7 @@ def forward(cfg: ModelConfig, params: dict, tokens: jnp.ndarray, cache: Any,
 
     (x, carried), new_cache = jax.lax.scan(
         body, (x, carried),
-        (jnp.arange(L, dtype=jnp.int32), params["layers"], xs_cache))
+        (jnp.arange(L, dtype=jnp.int32), lp_xs, xs_cache))
     new_cache = dict(new_cache, **carried, **ro)
     if inv_keys:
         new_cache = dict(new_cache, **{k: cache[k] for k in inv_keys})

@@ -143,15 +143,19 @@ def proj(h: jnp.ndarray, lp: dict, name: str) -> jnp.ndarray:
     """
     w = lp[name]
     if w.dtype == jnp.int16:
-        return _w4_dot(h, w, lp[name + "_scale"])
+        return _w4_dot(h, w, lp[name + "_scale"], lp.get("_li"))
     if w.dtype == jnp.int8:
         return (h @ w.astype(h.dtype)) * lp[name + "_scale"].astype(h.dtype)
     return h @ w
 
 
-def _w4_dot(h: jnp.ndarray, w: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+def _w4_dot(h: jnp.ndarray, w: jnp.ndarray, s: jnp.ndarray,
+            li=None) -> jnp.ndarray:
     """h [..., in] @ W4 carriers [in/4, out] with scales s [in/128, out].
 
+    Stacked form (production decode): w [L, in/4, out] + li — the Pallas
+    kernel indexes the layer via scalar prefetch so no per-layer carrier
+    copy ever materializes (the stacked-protocol rationale, models/llama.py).
     Decode (few tokens, weight-streaming-bound): the Pallas kernel
     (ops/kernels/w4_matmul.py) streams the packed carriers from HBM and
     unpacks+dequantizes in VMEM — an XLA-level unpack materializes the
@@ -162,17 +166,20 @@ def _w4_dot(h: jnp.ndarray, w: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
     Off-TPU (tests): always the transient-dequant path (the kernel is
     covered separately in interpret mode).
     """
-    din4, dout = w.shape
+    din4, dout = w.shape[-2], w.shape[-1]
     nb = s.shape[-2]
     tokens = 1
     for d in h.shape[:-1]:
         tokens *= d
     if tokens <= 128 and jax.default_backend() == "tpu":
         from mustafar_tpu.ops.kernels.w4_matmul import w4_matmul
-        out = w4_matmul(h.reshape(tokens, din4 * 4), w, s)
+        out = w4_matmul(h.reshape(tokens, din4 * 4), w, s, li=li)
         return out.reshape(*h.shape[:-1], dout)
+    if w.ndim == 3:
+        w = jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
+        s = jax.lax.dynamic_index_in_dim(s, li, 0, keepdims=False)
     wf = (unpack_w4(w).astype(h.dtype).reshape(nb, 128, dout)
-          * s.astype(h.dtype)[..., :, None, :]).reshape(din4 * 4, dout)
+          * s.astype(h.dtype)[:, None, :]).reshape(din4 * 4, dout)
     return h @ wf
 
 
