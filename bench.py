@@ -104,17 +104,24 @@ def main(batch=None, prompt_len=None, gen_tokens=None):
     dense_tps, dense_dt, (hbm_dense, _) = build(
         dense_eng, params, jnp.bfloat16, prompt, gen_tokens)
 
-    # weight-only int8 serving (models/quant.py): same engines, quantized
-    # weights — halves the weight streaming that dominates the decode step.
-    # Kept out of the headline (the reference is fp16-weight; vs_baseline
-    # stays the sparse/dense ratio at reference precision) but reported.
-    from mustafar_tpu.models.quant import quantize_params
+    # weight-only int8/int4 serving (models/quant.py): same engines,
+    # quantized weights — halves (W8) then re-halves (W4 residency) the
+    # weight streaming that dominates the decode step.  Kept out of the
+    # headline (the reference is fp16-weight; vs_baseline stays the
+    # sparse/dense ratio at reference precision) but reported.
+    from mustafar_tpu.models.quant import quantize_params, quantize_params_w4
+    q4params = jax.block_until_ready(quantize_params_w4(params))
     qparams = jax.block_until_ready(quantize_params(params, donate=True))
     del params
     sparse_w8_tps, _, (hbm_sparse_w8, _) = build(
         sparse_eng, qparams, jnp.bfloat16, prompt, gen_tokens)
     dense_w8_tps, _, _ = build(
         dense_eng, qparams, jnp.bfloat16, prompt, gen_tokens)
+    del qparams
+    sparse_w4_tps, _, (hbm_sparse_w4, _) = build(
+        sparse_eng, q4params, jnp.bfloat16, prompt, gen_tokens)
+    dense_w4_tps, _, _ = build(
+        dense_eng, q4params, jnp.bfloat16, prompt, gen_tokens)
 
     print(json.dumps({
         "metric": "sparse_decode_throughput",
@@ -136,6 +143,9 @@ def main(batch=None, prompt_len=None, gen_tokens=None):
             "sparse_w8_tok_s": round(sparse_w8_tps, 1),
             "dense_w8_tok_s": round(dense_w8_tps, 1),
             "hbm_sparse_w8_gib": hbm_sparse_w8,
+            "sparse_w4_tok_s": round(sparse_w4_tps, 1),
+            "dense_w4_tok_s": round(dense_w4_tps, 1),
+            "hbm_sparse_w4_gib": hbm_sparse_w4,
             "backend": jax.default_backend(),
         },
     }))
