@@ -129,11 +129,21 @@ class DenseKVCache:
             mask = kpos[None, None, :] <= pos[:, None, None]      # [B,1,S]
             if self.window is not None:
                 mask &= kpos[None, None, :] > (pos[:, None, None] - self.window)
-        if self.use_pallas and not self._needs_weights() \
-                and self.model.head_dim % 128 == 0:
+        if self.use_pallas and self.model.head_dim % 128 == 0:
             from mustafar_tpu.ops.kernels.dense_decode import flash_decode_attention
-            out = flash_decode_attention(q, lc["k"], lc["v"], pos, self.window)
-            lc = self.decode_prune(lc, q, None, pos)
+            if self._needs_weights():
+                # Opa scoring needs post-softmax weights, but only at the r
+                # residual-window columns: reconstruct them from the
+                # kernel's final online-softmax stats (p = exp(s - m) / l)
+                # instead of falling back to full XLA attention.
+                out, m, l = flash_decode_attention(
+                    q, lc["k"], lc["v"], pos, self.window, return_norm=True)
+                w_win = self._window_probs(q, lc["k"], pos, m, l)
+                lc = self.decode_prune(lc, q, ("win", w_win), pos)
+            else:
+                out = flash_decode_attention(q, lc["k"], lc["v"], pos,
+                                             self.window)
+                lc = self.decode_prune(lc, q, None, pos)
             return out, lc
         out, w = mha(q, lc["k"], lc["v"], mask, return_weights=True)
         lc = self.decode_prune(lc, q, w, pos)
@@ -314,8 +324,11 @@ class MaskedKVCache(DenseKVCache):
         self.method = p.method
         if "opa" in self.method.k_policy or "opa" in self.method.v_policy:
             # Opa ring machinery (score accumulators + windowed gathers)
-            # stays on the per-layer carry protocol — it is the accuracy
-            # path (XLA attention, _needs_weights) and not perf-critical.
+            # stays on the per-layer carry protocol.  Attention still runs
+            # the flash kernel: the post-softmax weights Opa scores with are
+            # reconstructed at the r window columns from the kernel's final
+            # (m, l) stats (_window_probs) — full XLA attention is only the
+            # head_dim%128 fallback.
             self.decode_stacked_rw = ()
             score_keys = ()
             if self.method.k_policy == "token_opa":
@@ -602,15 +615,42 @@ class MaskedKVCache(DenseKVCache):
         Hkv = self.model.num_kv_heads
         return attn_w.reshape(B, Hkv, Hq // Hkv, S).sum(axis=2)  # [B,Hkv,S]
 
+    def _window_probs(self, q, kbuf, pos, m, l):
+        """Post-softmax weights at the r window columns from the flash
+        kernel's final stats: p = exp(q.k*scale - m) / l, folded over the
+        query group.  Returns [B, Hkv, r] (invalid columns zero)."""
+        B, _, Hq, D = q.shape
+        Hkv = kbuf.shape[2]
+        G = Hq // Hkv
+        abs_idx, slots, valid, pos_v = self._window_geometry(pos, B)
+        rows = self._window_rows(kbuf, abs_idx)               # [B, r, Hkv, D]
+        qg = q[:, 0].reshape(B, Hkv, G, D).astype(jnp.bfloat16)
+        s = jnp.einsum("bhgd,brhd->bhgr", qg, rows.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        s = s * (1.0 / jnp.sqrt(jnp.float32(D)))
+        ok = valid
+        if self.window is not None:
+            ok = ok & (abs_idx > (pos_v[:, None] - self.window))
+        p = jnp.exp(s - m) / jnp.maximum(l, 1e-30)            # [B,Hkv,G,r]
+        p = jnp.where(ok[:, None, None, :], p, 0.0)
+        return p.sum(axis=2)                                  # [B,Hkv,r]
+
+    def _win_w(self, attn_w, abs_idx):
+        """Window-column weights from either source: precomputed kernel
+        stats (("win", [B,Hkv,r]) tuple) or a full XLA weight matrix."""
+        if isinstance(attn_w, tuple) and attn_w[0] == "win":
+            return attn_w[1]
+        w_kv = self._fold_w_kv(attn_w)                        # [B,Hkv,S]
+        return jnp.take_along_axis(
+            w_kv, jnp.maximum(abs_idx, 0)[:, None, :], axis=2)
+
     def _decode_prune_v_opa(self, lc, attn_w, exit_idx):
         B = lc["v"].shape[0]
         pos = jnp.asarray(exit_idx) + self.p.residual_length
         lc["v"], lc["v_score"] = self._ring_prune_row(
             lc["v"], lc["v_score"], exit_idx, self.p.v_sparsity)
         abs_idx, slots, valid, _ = self._window_geometry(pos, B)
-        w_kv = self._fold_w_kv(attn_w)                          # [B,Hkv,S]
-        w_win = jnp.take_along_axis(
-            w_kv, jnp.maximum(abs_idx, 0)[:, None, :], axis=2)  # [B,Hkv,r]
+        w_win = self._win_w(attn_w, abs_idx)                    # [B,Hkv,r]
         rows = self._window_rows(lc["v"], abs_idx).astype(jnp.float32)
         step = jnp.abs(jnp.swapaxes(w_win, 1, 2)[..., None] * rows)
         lc["v_score"] = self._ring_accumulate(lc["v_score"], step, slots, valid)
@@ -646,9 +686,7 @@ class MaskedKVCache(DenseKVCache):
         lc["v_score"] = lc["v_score"].at[bidx, g_slots].set(zeroed)
         # accumulate current step for the window tokens
         abs_idx, slots, valid, _ = self._window_geometry(pos, B)
-        w_kv = self._fold_w_kv(attn_w)
-        w_win = jnp.take_along_axis(
-            w_kv, jnp.maximum(abs_idx, 0)[:, None, :], axis=2)
+        w_win = self._win_w(attn_w, abs_idx)
         rows = self._window_rows(lc["v"], abs_idx).astype(jnp.float32)
         step = jnp.abs(jnp.swapaxes(w_win, 1, 2)[..., None] * rows)
         lc["v_score"] = self._ring_accumulate(lc["v_score"], step, slots, valid)

@@ -184,8 +184,16 @@ def _w4_dot(h: jnp.ndarray, w: jnp.ndarray, s: jnp.ndarray,
 
 
 def _quant_pack_w4(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    q, s = _quant_block4(w, 128)
-    return pack_w4(q), s.astype(jnp.bfloat16)
+    def one(wl):
+        q, s = _quant_block4(wl, 128)
+        return pack_w4(q), s.astype(jnp.bfloat16)
+
+    if w.ndim == 3:
+        # layer-stacked leaf: map per layer so the f32 quantization temps
+        # stay bounded to one layer (a [16,4096,14336] f32 temp is 3.7 GiB
+        # — does not coexist with live bf16 weights on a 16 GiB chip)
+        return jax.lax.map(one, w)
+    return one(w)
 
 
 def quantize_params_w4(params: dict, donate: bool = False) -> dict:

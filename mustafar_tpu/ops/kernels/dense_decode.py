@@ -29,7 +29,7 @@ def _interpret() -> bool:
 
 
 def _flash_decode_kernel(pos_ref, k_ref, v_ref, q_ref, out_ref,
-                         m_ref, l_ref, acc_ref,
+                         m_out, l_out, m_ref, l_ref, acc_ref,
                          *, ts: int, hkv: int, g8: int, scale: float,
                          window: Optional[int], n_tiles: int):
     b = pl.program_id(0)
@@ -82,13 +82,21 @@ def _flash_decode_kernel(pos_ref, k_ref, v_ref, q_ref, out_ref,
         out_ref[0] = (acc_ref[:].reshape(HG, D)
                       / jnp.maximum(l_ref[:].reshape(HG, 128)[:, :1], 1e-30)
                       ).reshape(out_ref.shape[1:])
+        # final softmax stats: p(kpos) = exp(s - m) / l can be reconstructed
+        # for any position in XLA (Opa scoring needs only the residual-window
+        # columns — cache/dense.py window_probs)
+        m_out[0] = m_ref[:].reshape(HG, 128)[:, :1].reshape(m_out.shape[1:])
+        l_out[0] = l_ref[:].reshape(HG, 128)[:, :1].reshape(l_out.shape[1:])
 
 
 def flash_decode_attention(q, k_cache, v_cache, pos,
-                           window: Optional[int] = None, ts: int = 512):
+                           window: Optional[int] = None, ts: int = 512,
+                           return_norm: bool = False):
     """q [B,1,Hq,D]; k_cache/v_cache [B,S,Hkv,D]; pos scalar or [B] int32
     (index of the newest token, already written into the cache).
-    Returns [B,1,Hq,D] in q.dtype."""
+    Returns [B,1,Hq,D] in q.dtype; with return_norm also the final online-
+    softmax stats (m, l) [B,Hkv,G,1] f32, from which the attention
+    probability of any position is exp(s - m)/l (Opa decode scoring)."""
     B, _, Hq, D = q.shape
     S = k_cache.shape[1]
     Hkv = k_cache.shape[2]
@@ -119,20 +127,32 @@ def flash_decode_attention(q, k_cache, v_cache, pos,
             pl.BlockSpec((1, Hkv, G8, D), lambda b, t, pref: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Hkv, G8, D), lambda b, t, pref: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(pl.BlockSpec((1, Hkv, G8, D),
+                                lambda b, t, pref: (b, 0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, Hkv, G8, 1),
+                                lambda b, t, pref: (b, 0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, Hkv, G8, 1),
+                                lambda b, t, pref: (b, 0, 0, 0),
+                                memory_space=pltpu.VMEM)),
         scratch_shapes=[
             pltpu.VMEM((Hkv, G8, 128), jnp.float32),
             pltpu.VMEM((Hkv, G8, 128), jnp.float32),
             pltpu.VMEM((Hkv, G8, D), jnp.float32),
         ],
     )
-    out = pl.pallas_call(
+    out, m, l = pl.pallas_call(
         functools.partial(_flash_decode_kernel, ts=ts, hkv=Hkv, g8=G8,
                           scale=float(1.0 / np.sqrt(D)), window=window,
                           n_tiles=n_tiles),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, G8, D), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((B, Hkv, G8, D), jnp.float32),
+                   jax.ShapeDtypeStruct((B, Hkv, G8, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, Hkv, G8, 1), jnp.float32)),
         interpret=_interpret(),
     )(pos_v, k_cache.astype(jnp.bfloat16), v_cache.astype(jnp.bfloat16), qpad)
-    return out[:, :, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
+    out = out[:, :, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
+    if return_norm:
+        return out, m[:, :, :G, :], l[:, :, :G, :]
+    return out
