@@ -88,6 +88,37 @@ def test_w8_tp_dp_matches_single_device():
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), rtol=2e-4, atol=2e-4)
 
 
+def test_w4_tp_dp_matches_single_device():
+    """Int4 nibble-carrier params under dp x tp: carriers shard like their
+    weight; blocked scales rank-adapt (filter_specs_for) so the out-channel
+    axis stays tp-sharded.  The stacked-protocol scan (carriers closure-
+    captured, scalar-prefetched layer index) must be sharding-transparent."""
+    from mustafar_tpu.models.quant import quantize_params_w4
+    assert len(jax.devices()) >= 8
+    eng = EngineConfig(model=CFG, cache_mode=CacheMode.MASKED,
+                       prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                                         k_sparsity=0.5, v_sparsity=0.5),
+                       max_seq_len=128)
+    params = quantize_params_w4(init_params(CFG, jax.random.PRNGKey(0),
+                                            dtype=jnp.float32))
+    assert params["layers"]["w_gate"].dtype == jnp.int16
+    impl = make_cache(eng)
+    B = 4
+    tokens = jnp.asarray(np.random.RandomState(0).randint(0, 256, (B, 64)))
+    ref1, ref2 = _run(eng, params, impl.init(B, jnp.float32), tokens)
+
+    mesh = sh.make_mesh(dp=4, tp=2)
+    pspecs = sh.filter_specs_for(params, sh.param_specs(CFG))
+    params_s = sh.shard_pytree(params, pspecs, mesh)
+    cache = impl.init(B, jnp.float32)
+    cache_s = sh.shard_pytree(cache, sh.cache_specs(eng, cache), mesh)
+    tokens_s = jax.device_put(tokens, NamedSharding(mesh, P("data", None)))
+    got1, got2 = _run(eng, params_s, cache_s, tokens_s, mesh)
+
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), rtol=2e-4, atol=2e-4)
+
+
 def test_compressed_cache_specs_cover_state():
     import dataclasses
     cfg128 = dataclasses.replace(CFG, head_dim=128, num_heads=4, num_kv_heads=2,
