@@ -59,10 +59,21 @@ class CompressedKVCache:
         self.model = engine.model
         p = engine.prune
         self.p = p
-        assert p.method.k_policy in ("token_mag",), (
+        assert p.method.k_policy in ("token_mag", "token_opa"), (
             "compressed cache supports per-token K policies (reference kernel "
             f"engine scope); got {p.method}")
-        assert p.method.v_policy in ("token_mag",), p.method
+        assert p.method.v_policy in ("token_mag", "token_opa"), p.method
+        # Output-aware (Opa) policies in compressed mode — BEYOND the
+        # reference's kernel-engine scope (Mag-only,
+        # llama_mustafar_kernel.py:77-153).  Scores accumulate per window
+        # column (fp32 buffers aligned with k_win/v_win); at compaction the
+        # oldest C tokens pack with a top-k-by-score keep mask instead of
+        # top-|x|.  Post-softmax weights come from the decode kernels' final
+        # online-softmax stats (m, l), never a full weight matrix.
+        self.k_opa = p.method.k_policy == "token_opa"
+        self.v_opa = p.method.v_policy == "token_opa"
+        self.score_keys = (("k_score",) if self.k_opa else ()) + \
+            (("v_score",) if self.v_opa else ())
         m = self.model
         assert m.head_dim == 128, (
             "the fused-stream compressed format packs bitmap planes as 128-wide "
@@ -105,7 +116,7 @@ class CompressedKVCache:
         pools = (("kv_pool",) if self.qcodec is None
                  else ("kv_pool", "kv_scales"))
         self.decode_stacked_ro = pools
-        self.decode_stacked_rw = ("k_win", "v_win")
+        self.decode_stacked_rw = ("k_win", "v_win") + self.score_keys
         self.segment_stacked_ro = pools
         self.segment_stacked_rw = ("k_win", "v_win")
         # compact()/compact_slots() still scan per layer; pools stay out
@@ -129,6 +140,13 @@ class CompressedKVCache:
             state["kv_scales"] = jnp.zeros(
                 (m.num_layers, mc, batch, m.num_kv_heads, 2, m.head_dim),
                 jnp.bfloat16)
+        for key in self.score_keys:
+            # Opa score accumulators, one fp32 score per window element;
+            # column i scores the token at window column i and shifts with
+            # the window at compaction.
+            state[key] = jnp.zeros(
+                (m.num_layers, batch, m.num_kv_heads, self.wcap, m.head_dim),
+                jnp.float32)
         return state
 
     def _pool_bh(self, pool6):
@@ -174,7 +192,7 @@ class CompressedKVCache:
                 cache["kv_scales"],
                 sub["kv_scales"].astype(cache["kv_scales"].dtype),
                 (0, 0, slot, 0, 0, 0))
-        for key in ("k_win", "v_win"):
+        for key in ("k_win", "v_win") + self.score_keys:
             out[key] = jax.lax.dynamic_update_slice_in_dim(
                 cache[key], sub[key].astype(cache[key].dtype), slot, axis=1)
         out["n_chunks"] = jax.lax.dynamic_update_slice_in_dim(
@@ -182,44 +200,52 @@ class CompressedKVCache:
         return out
 
     # -- packing ----------------------------------------------------------
-    def _pack_chunk(self, dense_bhtd: jnp.ndarray, fmt: sf.ChunkFormat):
-        """dense [B, Hkv, C, D] -> fused-stream rows [BH, stream_rows, 128]."""
+    def _pack_chunk(self, dense_bhtd: jnp.ndarray, fmt: sf.ChunkFormat,
+                    score=None):
+        """dense [B, Hkv, C, D] -> fused-stream rows [BH, stream_rows, 128].
+        ``score`` (same shape, fp32): Opa keep ranking instead of |x|."""
         B, H, C, D = dense_bhtd.shape
         x = dense_bhtd.reshape(B * H, C, D)                     # free reshape
-        return sf.prune_and_encode_stream(x.astype(jnp.bfloat16), fmt)
+        if score is not None:
+            score = score.reshape(B * H, C, D)
+        return sf.prune_and_encode_stream(x.astype(jnp.bfloat16), fmt, score)
 
-    def _pack_chunk_q(self, dense_bhtd: jnp.ndarray, kind: str):
+    def _pack_chunk_q(self, dense_bhtd: jnp.ndarray, kind: str, score=None):
         """Quant codec: dense [B, Hkv, C, D] -> (rows [BH, R, 128] int16,
-        scales [BH, D] bf16).  Prune first (same top-k rule as the bitmap
-        path), then quantize the survivors (ops/quant_format.py)."""
+        scales [BH, D] bf16).  Prune first (top-k by |x|, or by ``score``
+        for Opa policies), then quantize the survivors (ops/quant_format.py)."""
         from mustafar_tpu.ops import quant_format as qf
         B, H, C, D = dense_bhtd.shape
         x = dense_bhtd.reshape(B * H, C, D)                     # free reshape
         x = x.astype(jnp.bfloat16)
         keep = self.k_keep if kind == "k" else self.v_keep
-        pruned = jnp.where(sf.topk_mask(x, keep), x, 0).astype(jnp.bfloat16)
+        sel = x if score is None else score.reshape(B * H, C, D)
+        pruned = jnp.where(sf.topk_mask(sel, keep), x, 0).astype(jnp.bfloat16)
         return qf.encode_chunk(pruned, self.qcodec, kind)
 
-    def _pack_rows_scales(self, k_chunk, v_chunk):
+    def _pack_rows_scales(self, k_chunk, v_chunk, k_score=None, v_score=None):
         """Prune+pack K and V chunks ([B, Hkv, C, D], head-major) with the
-        active codec.  Returns (rows6 [B, Hkv, ROWS, 128],
-        scales6 [B, Hkv, 2, D] | None)."""
+        active codec.  k_score/v_score (same shape, fp32): Opa accumulated
+        scores replacing the magnitude keep rule.  Returns
+        (rows6 [B, Hkv, ROWS, 128], scales6 [B, Hkv, 2, D] | None)."""
         B, Hkv = k_chunk.shape[:2]
         if self.qcodec is None:
-            k_rows = self._pack_chunk(k_chunk, self.kfmt)
-            v_rows = self._pack_chunk(v_chunk, self.vfmt)
+            k_rows = self._pack_chunk(k_chunk, self.kfmt, k_score)
+            v_rows = self._pack_chunk(v_chunk, self.vfmt, v_score)
             scales6 = None
         else:
-            k_rows, k_sc = self._pack_chunk_q(k_chunk, "k")
-            v_rows, v_sc = self._pack_chunk_q(v_chunk, "v")
+            k_rows, k_sc = self._pack_chunk_q(k_chunk, "k", k_score)
+            v_rows, v_sc = self._pack_chunk_q(v_chunk, "v", v_score)
             scales6 = jnp.stack([k_sc, v_sc], axis=1).reshape(
                 B, Hkv, 2, k_sc.shape[-1])
         rows = jnp.concatenate([k_rows, v_rows], axis=-2)      # [BH, ROWS, 128]
         return rows.reshape(B, Hkv, *rows.shape[1:]), scales6
 
-    def _append_chunk(self, lc, chunk_idx, k_chunk, v_chunk):
+    def _append_chunk(self, lc, chunk_idx, k_chunk, v_chunk,
+                      k_score=None, v_score=None):
         """Prune+pack one dense chunk ([B, Hkv, C, D]) into pool slot chunk_idx."""
-        rows6, scales6 = self._pack_rows_scales(k_chunk, v_chunk)
+        rows6, scales6 = self._pack_rows_scales(k_chunk, v_chunk,
+                                                k_score, v_score)
         lc["kv_pool"] = jax.lax.dynamic_update_slice(
             lc["kv_pool"], rows6[None], (chunk_idx, 0, 0, 0, 0))
         if scales6 is not None:
@@ -270,13 +296,28 @@ class CompressedKVCache:
         max_pre = T // C
         kh = jnp.swapaxes(k, 1, 2)                              # [B, Hkv, T, D]
         vh = jnp.swapaxes(v, 1, 2)
+        # Opa prefill scores for the packed prefix (same rules as the masked
+        # cache's one-shot prefill prune; cache/dense.py module helpers)
+        ksh = vsh = None
+        if self.k_opa:
+            from mustafar_tpu.cache.dense import prefill_k_opa_score
+            ksh = jnp.swapaxes(prefill_k_opa_score(q, k, true_len), 1, 2)
+        if self.v_opa:
+            from mustafar_tpu.cache.dense import prefill_v_opa_score
+            vsh = jnp.swapaxes(prefill_v_opa_score(
+                q, k, v, true_len, self.p.group_size, self.window), 1, 2)
 
         def body(i, lc):
             start = i * C
             k_chunk = jax.lax.dynamic_slice_in_dim(kh, start, C, axis=2)
             v_chunk = jax.lax.dynamic_slice_in_dim(vh, start, C, axis=2)
+            ks_chunk = None if ksh is None else \
+                jax.lax.dynamic_slice_in_dim(ksh, start, C, axis=2)
+            vs_chunk = None if vsh is None else \
+                jax.lax.dynamic_slice_in_dim(vsh, start, C, axis=2)
             return jax.lax.cond(i < n_pre,
-                                lambda lc: self._append_chunk(lc, i, k_chunk, v_chunk),
+                                lambda lc: self._append_chunk(
+                                    lc, i, k_chunk, v_chunk, ks_chunk, vs_chunk),
                                 lambda lc: lc, lc)
 
         lc = dict(lc)
@@ -319,6 +360,9 @@ class CompressedKVCache:
         """
         from mustafar_tpu.ops.attention import attention_partials, merge_partials
 
+        assert not (self.k_opa or self.v_opa), (
+            "chunked prefill supports Mag policies; Opa prefill needs the "
+            "full-prompt attention statistics (use monolithic prefill)")
         B, Tseg, Hq, D = q.shape
         Hkv = self.model.num_kv_heads
         C, r = self.C, self.r
@@ -468,6 +512,68 @@ class CompressedKVCache:
             mask &= jnp.arange(S)[None, :] > (qpos[:, None] - self.window)
         return attention_partials(q, k_dense, v_dense, mask)
 
+    # -- Opa scoring (compressed mode) -------------------------------------
+    def _win_validity(self, n_chunks, win_len, pos, B):
+        """[B, wcap] mask of live window columns (length + sliding window)."""
+        cols = jnp.arange(self.wcap)
+        wl_b = jnp.broadcast_to(jnp.asarray(win_len).reshape(-1), (B,))
+        valid = cols[None, :] < wl_b[:, None]
+        if self.window is not None:
+            nc_b = jnp.broadcast_to(jnp.asarray(n_chunks).reshape(-1), (B,))
+            pos_b = jnp.broadcast_to(jnp.asarray(pos).reshape(-1), (B,))
+            abs_idx = nc_b[:, None] * self.C + cols[None, :]
+            valid &= abs_idx > (pos_b[:, None] - self.window)
+        return valid
+
+    def _window_probs_from_stats(self, q, kw_l, valid, m, l):
+        """Post-softmax weights at the window columns from the decode
+        kernel's final online-softmax stats: p = exp(q.k*scale - m) / l,
+        folded over the query group (same reconstruction as the masked
+        cache's _window_probs).  kw_l [B,Hkv,wcap,D] post-append window;
+        m/l [B,Hkv,G,1] fp32.  Returns [B,Hkv,wcap] fp32, invalid cols 0."""
+        B, _, Hq, D = q.shape
+        Hkv = kw_l.shape[1]
+        G = Hq // Hkv
+        qg = q[:, 0].reshape(B, Hkv, G, D).astype(jnp.bfloat16)
+        s = jnp.einsum("bhgd,bhwd->bhgw", qg, kw_l.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        s = s * (1.0 / jnp.sqrt(jnp.float32(D)))
+        p = jnp.exp(s - m) / jnp.maximum(l, 1e-30)
+        p = jnp.where(valid[:, None, None, :], p, 0.0)
+        return p.sum(axis=2)
+
+    def _accumulate_scores(self, upd, full, li, q, valid, p_win):
+        """Add this step's Opa scores for the live window columns into the
+        stacked score buffers at layer ``li`` (k: |mean|q| * k| per element,
+        reference llama_mustafar_Kt_Opa_Vt_Mag.py:121-178; v: |p * v|,
+        llama_mustafar_Kt_Mag_Vt_Opa.py:115-260).  Mutates/returns upd."""
+        B, _, Hq, D = q.shape
+        Hkv = self.model.num_kv_heads
+        vmask = valid[:, None, :, None]                     # [B,1,wcap,1]
+        if self.k_opa:
+            kw_l = jax.lax.dynamic_index_in_dim(upd["k_win"], li, 0,
+                                                keepdims=False)
+            qa = jnp.abs(q[:, 0].astype(jnp.float32)).reshape(
+                B, Hkv, Hq // Hkv, D).mean(axis=2)          # [B,Hkv,D]
+            step = jnp.where(
+                vmask, jnp.abs(qa[:, :, None, :] * kw_l.astype(jnp.float32)),
+                0.0)
+            ks_l = jax.lax.dynamic_index_in_dim(full["k_score"], li, 0,
+                                                keepdims=False) + step
+            upd["k_score"] = jax.lax.dynamic_update_index_in_dim(
+                full["k_score"], ks_l, li, 0)
+        if self.v_opa:
+            vw_l = jax.lax.dynamic_index_in_dim(upd["v_win"], li, 0,
+                                                keepdims=False)
+            step = jnp.where(
+                vmask,
+                jnp.abs(p_win[..., None] * vw_l.astype(jnp.float32)), 0.0)
+            vs_l = jax.lax.dynamic_index_in_dim(full["v_score"], li, 0,
+                                                keepdims=False) + step
+            upd["v_score"] = jax.lax.dynamic_update_index_in_dim(
+                full["v_score"], vs_l, li, 0)
+        return upd
+
     # -- decode -----------------------------------------------------------
     def decode_attend(self, lc, q, k, v, pos, full=None, li=None):
         """q [B,1,Hq,D]; appends k/v (1 token) and attends pools + window.
@@ -511,6 +617,12 @@ class CompressedKVCache:
                 full[key], jnp.swapaxes(tok, 1, 2)[None].astype(full[key].dtype),
                 (li, 0, 0, win_len - 1, 0))
 
+        opa = self.k_opa or self.v_opa
+        if opa:
+            assert self.mesh is None, (
+                "compressed Opa decode is single-device for now (score "
+                "accumulation is not yet expressed through shard_map)")
+        p_win = None
         if self.use_pallas:
             if self.qcodec is not None:
                 from mustafar_tpu.ops.kernels import quant_attention as qa
@@ -519,7 +631,7 @@ class CompressedKVCache:
                         q_, self._pool_bh7(pool7_), *self._scales_bh7(s7_),
                         self._win_bh(kw5_), self._win_bh(vw5_), nc_, wl_,
                         self.qcodec, self.max_chunks, li=li_,
-                        window=self.window)
+                        window=self.window, return_norm=self.v_opa)
                 if self.mesh is not None:
                     from mustafar_tpu.parallel import sharding as sh
                     call = sh.shard_headlocal_attend(call, self.mesh,
@@ -538,15 +650,29 @@ class CompressedKVCache:
                     ska.fused_sparse_decode_attention_v7(
                         q_, self._pool_bh(pool6_), kw_, vw_, nc_, wl_,
                         self.kfmt, self.vfmt, self.max_chunks, hpb=16,
-                        window=self.window)
+                        window=self.window, return_norm=self.v_opa)
                 if self.mesh is not None:
                     from mustafar_tpu.parallel import sharding as sh
                     call = sh.shard_headlocal_attend(call, self.mesh)
                 out = call(q, pool6, kw, vw, n_chunks, win_len)
+            if self.v_opa:
+                out, m_st, l_st = out
+                kw_l = jax.lax.dynamic_index_in_dim(upd["k_win"], li, 0,
+                                                    keepdims=False)
+                p_win = self._window_probs_from_stats(
+                    q, kw_l, self._win_validity(n_chunks, win_len, pos, B),
+                    m_st, l_st)
         else:
             lc_xla = self._lc_xla(lc, upd, full, li)
             out = self._decode_attend_xla(lc_xla, q, n_chunks, win_len,
-                                          B, Hkv, D)
+                                          B, Hkv, D,
+                                          return_win_probs=self.v_opa)
+            if self.v_opa:
+                out, p_win = out
+        if opa:
+            upd = self._accumulate_scores(
+                upd, full, li, q,
+                self._win_validity(n_chunks, win_len, pos, B), p_win)
         # NOTE: compaction is NOT performed here.  XLA:TPU executes BOTH
         # branches of lax.cond and selects (measured 16.7 ms/layer/step of
         # dead packing work), so callers invoke ``compact_layer`` /
@@ -561,7 +687,10 @@ class CompressedKVCache:
             lc_xla[key] = jax.lax.dynamic_index_in_dim(full[key], li, 0,
                                                        keepdims=False)
         for key in self.decode_stacked_rw:
-            lc_xla[key] = jax.lax.dynamic_index_in_dim(upd[key], li, 0,
+            # score keys are appended to upd AFTER attention (they need its
+            # softmax stats); read them from the unmodified stacked state
+            src = upd[key] if key in upd else full[key]
+            lc_xla[key] = jax.lax.dynamic_index_in_dim(src, li, 0,
                                                        keepdims=False)
         return lc_xla
 
@@ -582,6 +711,12 @@ class CompressedKVCache:
         kw = jax.lax.dynamic_index_in_dim(upd["k_win"], li, 0, keepdims=False)
         vw = jax.lax.dynamic_index_in_dim(upd["v_win"], li, 0, keepdims=False)
 
+        opa = self.k_opa or self.v_opa
+        if opa:
+            assert self.mesh is None, (
+                "compressed Opa decode is single-device for now (score "
+                "accumulation is not yet expressed through shard_map)")
+        p_win = None
         if self.use_pallas and Hkv in (8, 16):
             if self.qcodec is not None:
                 from mustafar_tpu.ops.kernels import quant_attention as qa
@@ -589,7 +724,7 @@ class CompressedKVCache:
                     qa.fused_q_decode_attention_ps(
                         q_, self._pool_bh7(pool7_), *self._scales_bh7(s7_),
                         kw_, vw_, nc_, wl_, self.qcodec, mc, li=li_,
-                        window=self.window)
+                        window=self.window, return_win_probs=self.v_opa)
                 if self.mesh is not None:
                     from mustafar_tpu.parallel import sharding as sh
                     call = sh.shard_headlocal_attend(
@@ -604,15 +739,25 @@ class CompressedKVCache:
                 call = lambda q_, pool6_, kw_, vw_, nc_, wl_: \
                     ska.fused_sparse_decode_attention_v6ps(
                         q_, self._pool_bh(pool6_), kw_, vw_, nc_, wl_,
-                        self.kfmt, self.vfmt, mc, window=self.window)
+                        self.kfmt, self.vfmt, mc, window=self.window,
+                        return_win_probs=self.v_opa)
                 if self.mesh is not None:
                     from mustafar_tpu.parallel import sharding as sh
                     call = sh.shard_headlocal_attend(call, self.mesh,
                                                      per_slot=True)
                 out = call(q, pool6, kw, vw, nc, win_len)
+            if self.v_opa:
+                out, p_win = out
         else:
             lc_xla = self._lc_xla(lc, upd, full, li)
-            out = self._decode_attend_xla(lc_xla, q, nc, win_len, B, Hkv, D)
+            out = self._decode_attend_xla(lc_xla, q, nc, win_len, B, Hkv, D,
+                                          return_win_probs=self.v_opa)
+            if self.v_opa:
+                out, p_win = out
+        if opa:
+            upd = self._accumulate_scores(
+                upd, full, li, q, self._win_validity(nc, win_len, pos, B),
+                p_win)
 
         # compaction deferred to compact_slots (see decode_attend note)
         return out, lc, upd
@@ -629,14 +774,14 @@ class CompressedKVCache:
         C = self.C
         lc = dict(lc)
         n_chunks = lc["n_chunks"][0]
-        lc = self._append_chunk(lc, n_chunks, lc["k_win"][:, :, :C],
-                                lc["v_win"][:, :, :C])
-        lc["k_win"] = jnp.concatenate(
-            [lc["k_win"][:, :, C:], jnp.zeros_like(lc["k_win"][:, :, :C])],
-            axis=2)
-        lc["v_win"] = jnp.concatenate(
-            [lc["v_win"][:, :, C:], jnp.zeros_like(lc["v_win"][:, :, :C])],
-            axis=2)
+        lc = self._append_chunk(
+            lc, n_chunks, lc["k_win"][:, :, :C], lc["v_win"][:, :, :C],
+            lc["k_score"][:, :, :C] if self.k_opa else None,
+            lc["v_score"][:, :, :C] if self.v_opa else None)
+        for key in ("k_win", "v_win") + self.score_keys:
+            lc[key] = jnp.concatenate(
+                [lc[key][:, :, C:], jnp.zeros_like(lc[key][:, :, :C])],
+                axis=2)
         lc["n_chunks"] = lc["n_chunks"] + 1
         return lc
 
@@ -653,12 +798,14 @@ class CompressedKVCache:
                 if k not in self.segment_invariant_keys}
 
         def one(_, lc):
-            new6, scales6 = self._pack_rows_scales(lc["k_win"][:, :, :C],
-                                                   lc["v_win"][:, :, :C])
+            new6, scales6 = self._pack_rows_scales(
+                lc["k_win"][:, :, :C], lc["v_win"][:, :, :C],
+                lc["k_score"][:, :, :C] if self.k_opa else None,
+                lc["v_score"][:, :, :C] if self.v_opa else None)
             out = {"n_chunks": lc["n_chunks"] + do_i32, "_rows": new6}
             if scales6 is not None:
                 out["_scales"] = scales6
-            for key in ("k_win", "v_win"):
+            for key in ("k_win", "v_win") + self.score_keys:
                 shifted = jnp.concatenate(
                     [lc[key][:, :, C:], jnp.zeros_like(lc[key][:, :, :C])],
                     axis=2)
@@ -717,12 +864,15 @@ class CompressedKVCache:
             out["kv_scales"] = put(cache["kv_scales"], scales)
         return out
 
-    def _decode_attend_xla(self, lc, q, n_chunks, win_len, B, Hkv, D):
+    def _decode_attend_xla(self, lc, q, n_chunks, win_len, B, Hkv, D,
+                           return_win_probs: bool = False):
         """XLA fallback: decompress pools, two-part masked attention.
 
         Numerically mirrors the kernel path (and the reference decode,
         llama_mustafar_kernel.py:256-321).  n_chunks/win_len: scalar (uniform)
-        or [B,1,1,1] (per-slot)."""
+        or [B,1,1,1] (per-slot).  ``return_win_probs``: also return the
+        post-softmax window-column weights folded over the query group,
+        [B, Hkv, wcap] fp32 (Opa scoring)."""
         S = self.max_chunks * self.C
         k_dense, v_dense = self._dense_pools(lc, B)
         G = q.shape[2] // Hkv
@@ -751,4 +901,7 @@ class CompressedKVCache:
                           preferred_element_type=jnp.float32)
                + jnp.einsum("bhgw,bhwd->bhgd", w_win.astype(vw.dtype), vw,
                             preferred_element_type=jnp.float32))
-        return out.reshape(B, 1, q.shape[2], D).astype(q.dtype)
+        out = out.reshape(B, 1, q.shape[2], D).astype(q.dtype)
+        if not return_win_probs:
+            return out
+        return out, w_win.sum(axis=2)                           # [B,Hkv,wcap]

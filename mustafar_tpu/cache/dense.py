@@ -313,6 +313,40 @@ def _prune_block_at5(buf: jnp.ndarray, li, start: jnp.ndarray, size: int,
     return buf.at[lib, bidx, idx].set(new_blk)
 
 
+def prefill_k_opa_score(q, k, true_len) -> jnp.ndarray:
+    """Output-aware prefill K score: |mean_valid(|q|) * k| with query heads
+    folded to kv groups (reference llama_mustafar_Kt_Opa_Vt_Mag.py:66-119).
+    q [B,T,Hq,D], k [B,T,Hkv,D] -> score [B,T,Hkv,D] fp32.  Shared by the
+    masked and compressed caches."""
+    B, T, Hq, D = q.shape
+    Hkv = k.shape[2]
+    valid = (jnp.arange(T) < true_len)[None, :, None, None]
+    qa = jnp.where(valid, jnp.abs(q.astype(jnp.float32)), 0.0)
+    denom = jnp.maximum(true_len, 1).astype(jnp.float32)
+    q_mean = qa.reshape(B, T, Hkv, Hq // Hkv, D).sum(axis=(1, 3)) / denom
+    return jnp.abs(q_mean[:, None, :, :] * k.astype(jnp.float32))  # [B,T,Hkv,D]
+
+
+def prefill_v_opa_score(q, k, v, true_len, group_size: int,
+                        window: int | None) -> jnp.ndarray:
+    """Output-aware prefill V score: |attn_weight * v| where the weights are
+    the softmaxed attention of the last ``group_size`` queries (reference
+    llama_mustafar_Kt_Mag_Vt_Opa.py:168-206).  Returns [B,T,Hkv,D] fp32."""
+    from mustafar_tpu.ops.attention import mha as _mha  # local to avoid cycle
+    B, T, Hq, D = q.shape
+    Hkv = v.shape[2]
+    gs = group_size
+    pos = jnp.arange(T)
+    start = jnp.maximum(true_len - gs, 0)
+    q_last = jax.lax.dynamic_slice_in_dim(q, start, gs, axis=1)
+    qpos = start + jnp.arange(gs)
+    mask = causal_mask(qpos, pos, true_len, window)
+    _, w = _mha(q_last, k, v, mask, return_weights=True)   # [B,gs,Hq,T] fp32
+    w_kv = w.reshape(B, gs, Hkv, Hq // Hkv, T).sum(axis=(1, 3))  # [B,Hkv,T]
+    score = jnp.abs(w_kv[..., None] * jnp.swapaxes(v, 1, 2).astype(jnp.float32))
+    return jnp.swapaxes(score, 1, 2)   # [B,T,Hkv,D]
+
+
 class MaskedKVCache(DenseKVCache):
     """Dense-storage cache with reference pruning semantics applied in place."""
 
@@ -409,32 +443,12 @@ class MaskedKVCache(DenseKVCache):
         return k_store, v_store
 
     def _prefill_prune_k_opa(self, q, k, true_len):
-        B, T, Hq, D = q.shape
-        Hkv = k.shape[2]
-        # mean |q| over valid tokens and the query heads of each kv group.
-        valid = (jnp.arange(T) < true_len)[None, :, None, None]
-        qa = jnp.where(valid, jnp.abs(q.astype(jnp.float32)), 0.0)
-        denom = jnp.maximum(true_len, 1).astype(jnp.float32)
-        q_mean = qa.reshape(B, T, Hkv, Hq // Hkv, D).sum(axis=(1, 3)) / denom  # [B,Hkv,D]
-        score = jnp.abs(q_mean[:, None, :, :] * k.astype(jnp.float32))         # [B,T,Hkv,D]
+        score = prefill_k_opa_score(q, k, true_len)
         return pruning.prune_by_score_lastdim(k, score, self.p.k_sparsity)
 
     def _prefill_v_opa_score(self, q, k, v, true_len):
-        """Score V tokens by the softmaxed attention of the last group_size
-        queries (reference llama_mustafar_Kt_Mag_Vt_Opa.py:168-206)."""
-        from mustafar_tpu.ops.attention import mha as _mha  # local to avoid cycle
-        B, T, Hq, D = q.shape
-        Hkv = v.shape[2]
-        gs = self.p.group_size
-        pos = jnp.arange(T)
-        start = jnp.maximum(true_len - gs, 0)
-        q_last = jax.lax.dynamic_slice_in_dim(q, start, gs, axis=1)
-        qpos = start + jnp.arange(gs)
-        mask = causal_mask(qpos, pos, true_len, self.window)
-        _, w = _mha(q_last, k, v, mask, return_weights=True)   # [B,gs,Hq,T] fp32
-        w_kv = w.reshape(B, gs, Hkv, Hq // Hkv, T).sum(axis=(1, 3))  # [B,Hkv,T]
-        score = jnp.abs(w_kv[..., None] * jnp.swapaxes(v, 1, 2).astype(jnp.float32))
-        return jnp.swapaxes(score, 1, 2)   # [B,T,Hkv,D]
+        return prefill_v_opa_score(q, k, v, true_len, self.p.group_size,
+                                   self.window)
 
     def _prefill_v_opa_pruned(self, q, k, v, true_len):
         score = self._prefill_v_opa_score(q, k, v, true_len)

@@ -65,9 +65,9 @@ def _bcast_heads(s, hpb: int, g8: int):
 # ---------------------------------------------------------------------------
 
 def _q_decode_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, ks_ref, vs_ref,
-                     q_ref, out_ref, buf, wbuf, sems, wsems, m_ref, l_ref,
-                     acc_ref, *, codec: QuantCodec, hpb, wt, fdepth, scale,
-                     nslots, window):
+                     q_ref, out_ref, m_out, l_out, buf, wbuf, sems, wsems,
+                     m_ref, l_ref, acc_ref, *, codec: QuantCodec, hpb, wt,
+                     fdepth, scale, nslots, window):
     nc = scalars_ref[0]
     win_len = scalars_ref[1]
     li = scalars_ref[2]        # layer index into the stacked [L, ...] inputs
@@ -193,6 +193,10 @@ def _q_decode_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, ks_ref, vs_ref,
     out_ref[:] = (acc_ref[:].reshape(HG, D)
                   / jnp.maximum(l_ref[:].reshape(HG, 128)[:, :1], 1e-30)
                   ).reshape(out_ref.shape)
+    # final online-softmax stats: Opa policies reconstruct post-softmax
+    # weights at the window columns from (m, l) (cache/compressed.py)
+    m_out[:] = m_ref[:, :, :1]
+    l_out[:] = l_ref[:, :, :1]
 
 
 def fused_q_decode_attention(q, kv_pool, kscales, vscales, k_win, v_win,
@@ -200,8 +204,13 @@ def fused_q_decode_attention(q, kv_pool, kscales, vscales, k_win, v_win,
                              max_chunks: int, li=None, hpb: int = 8,
                              wt: int = 96, fdepth: int | None = None,
                              nslots: int | None = None,
-                             window: int | None = None):
+                             window: int | None = None,
+                             return_norm: bool = False):
     """Fused decode over quantized pools, uniform batch.
+
+    ``return_norm``: also return the final online-softmax stats (m, l), each
+    [B, Hkv, G, 1] fp32 — post-softmax weights at any column with score s are
+    exp(s - m) / l (Opa scoring, cache/compressed.py).
 
     Stacked form (the production decode path — no per-layer cache slices are
     ever materialized; the kernel DMAs from the full stacked state at layer
@@ -275,8 +284,12 @@ def fused_q_decode_attention(q, kv_pool, kscales, vscales, k_win, v_win,
                   sspec, sspec,
                   pl.BlockSpec((hpb, G8, D), lambda b, sref: (b, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((hpb, G8, D), lambda b, sref: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(pl.BlockSpec((hpb, G8, D), lambda b, sref: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((hpb, G8, 1), lambda b, sref: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((hpb, G8, 1), lambda b, sref: (b, 0, 0),
+                                memory_space=pltpu.VMEM)),
         scratch_shapes=[
             pltpu.VMEM((nslots, fdepth, hpb, RQ, 128), jnp.int16),
             pltpu.VMEM((2, 2, hpb, wt, D), jnp.bfloat16),
@@ -287,15 +300,22 @@ def fused_q_decode_attention(q, kv_pool, kscales, vscales, k_win, v_win,
             pltpu.VMEM((hpb, G8, D), jnp.float32),
         ],
     )
-    out = pl.pallas_call(
+    out, m_c, l_c = pl.pallas_call(
         functools.partial(_q_decode_kernel, codec=codec, hpb=hpb, wt=wt,
                           fdepth=fdepth, scale=float(1.0 / np.sqrt(D)),
                           nslots=nslots, window=window),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((BH, G8, D), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((BH, G8, D), jnp.float32),
+                   jax.ShapeDtypeStruct((BH, G8, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((BH, G8, 1), jnp.float32)),
         interpret=_interpret(),
     )(scalars, kv_pool, k_win, v_win, kscales, vscales, qb)
-    return out[:, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
+    out = out[:, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
+    if not return_norm:
+        return out
+    m = m_c[:, :G].reshape(B, Hkv, G, 1)
+    l = l_c[:, :G].reshape(B, Hkv, G, 1)
+    return out, m, l
 
 
 # ---------------------------------------------------------------------------
@@ -389,10 +409,15 @@ def _q_ps_kernel(scalars_ref, pool_hbm, ks_ref, vs_ref, q_ref, out_ref,
 def fused_q_decode_attention_ps(q, kv_pool, kscales, vscales, k_win, v_win,
                                 n_chunks, win_len, codec: QuantCodec,
                                 max_chunks: int, li=None, hpb: int = 16,
-                                window: int | None = None):
+                                window: int | None = None,
+                                return_win_probs: bool = False):
     """Per-slot decode over quantized pools: n_chunks/win_len are [B] vectors
     (continuous batching).  Pool partials in-kernel; window part in XLA
     (same split as sparse_attention.fused_sparse_decode_attention_v6ps).
+
+    ``return_win_probs``: also return the post-softmax weights of the window
+    columns, folded over the query group — [B, Hkv, Wcap] fp32 (Opa scoring;
+    the window part already runs in XLA here, so the probs are free).
 
     kv_pool/kscales/vscales: stacked [L, mc, BH, ...] with li an int32 layer
     index (production path — no per-layer pool slice is materialized), or
@@ -476,8 +501,15 @@ def fused_q_decode_attention_ps(q, kv_pool, kscales, vscales, k_win, v_win,
     m_tot = jnp.maximum(m_c, m_w_safe)
     a_c = jnp.exp(m_c - m_tot)
     a_w = jnp.exp(m_w_safe - m_tot)
-    out = (acc * a_c + o_w * a_w) / (l_c * a_c + l_w * a_w)
-    return out[:, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
+    l_tot = l_c * a_c + l_w * a_w
+    out = (acc * a_c + o_w * a_w) / l_tot
+    out = out[:, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
+    if not return_win_probs:
+        return out
+    # total-softmax window probs: exp(s_w - m_tot) / l_tot, group-folded
+    p_full = p_w * (a_w / jnp.maximum(l_tot, 1e-30))         # [BH, G8, W]
+    p_win = p_full[:, :G].sum(axis=1).reshape(B, Hkv, W)
+    return out, p_win
 
 
 # ---------------------------------------------------------------------------

@@ -1184,12 +1184,16 @@ def fused_sparse_decode_attention_v6ps(q, kv_pool, k_win, v_win, n_chunks,
                                        win_len, kfmt: ChunkFormat,
                                        vfmt: ChunkFormat, max_chunks: int,
                                        hpb: int = 16,
-                                       window: int | None = None):
+                                       window: int | None = None,
+                                       return_win_probs: bool = False):
     """Per-slot v6: n_chunks [B], win_len [B] vectors (continuous batching).
     k_win/v_win [B, Hkv, Wcap, D] (head-major window layout — a free reshape
     of the cache state, no transpose).  ``window`` masks pool chunks to the
     per-sequence sliding window (Mistral semantics, reference
-    mistral_mustafar_Kt_Mag_Vt_Mag.py:983-989)."""
+    mistral_mustafar_Kt_Mag_Vt_Mag.py:983-989).
+
+    ``return_win_probs``: also return the post-softmax window-column weights
+    folded over the query group, [B, Hkv, Wcap] fp32 (Opa scoring)."""
     B, _, Hq, D = q.shape
     Hkv = k_win.shape[1]
     W = k_win.shape[2]
@@ -1262,8 +1266,15 @@ def fused_sparse_decode_attention_v6ps(q, kv_pool, k_win, v_win, n_chunks,
     m_tot = jnp.maximum(m_c, m_w_safe)
     a_c = jnp.exp(m_c - m_tot)
     a_w = jnp.exp(m_w_safe - m_tot)
-    out = (acc * a_c + o_w * a_w) / (l_c * a_c + l_w * a_w)
-    return out[:, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
+    l_tot = l_c * a_c + l_w * a_w
+    out = (acc * a_c + o_w * a_w) / l_tot
+    out = out[:, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
+    if not return_win_probs:
+        return out
+    # total-softmax window probs: exp(s_w - m_tot) / l_tot, group-folded
+    p_full = p_w * (a_w / jnp.maximum(l_tot, 1e-30))         # [BH, G8, W]
+    p_win = p_full[:, :G].sum(axis=1).reshape(B, Hkv, W)
+    return out, p_win
 
 
 # ---------------------------------------------------------------------------
@@ -1426,9 +1437,10 @@ def fused_sparse_segment_attention(q_seg, kv_pool, n_chunks, seg_start,
 # ---------------------------------------------------------------------------
 
 def _fused_v7_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, q_ref, out_ref,
-                     buf, wbuf, sems, wsems, m_ref, l_ref, acc_ref,
-                     *, kfmt: ChunkFormat, vfmt: ChunkFormat, hpb: int,
-                     wt: int, scale: float, window: int | None = None):
+                     m_out, l_out, buf, wbuf, sems, wsems, m_ref, l_ref,
+                     acc_ref, *, kfmt: ChunkFormat, vfmt: ChunkFormat,
+                     hpb: int, wt: int, scale: float,
+                     window: int | None = None):
     nc = scalars_ref[0]
     win_len = scalars_ref[1]
     b = pl.program_id(0)
@@ -1542,16 +1554,22 @@ def _fused_v7_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, q_ref, out_ref,
     out_ref[:] = (acc_ref[:].reshape(HG, D)
                   / jnp.maximum(l_ref[:].reshape(HG, 128)[:, :1], 1e-30)
                   ).reshape(out_ref.shape)
+    # final online-softmax stats for Opa window scoring (cache/compressed.py)
+    m_out[:] = m_ref[:, :, :1]
+    l_out[:] = l_ref[:, :, :1]
 
 
 def fused_sparse_decode_attention_v7(q, kv_pool, k_win, v_win, n_chunks,
                                      win_len, kfmt: ChunkFormat,
                                      vfmt: ChunkFormat, max_chunks: int,
                                      hpb: int = 16, window: int | None = None,
-                                     wt: int = 96):
+                                     wt: int = 96, return_norm: bool = False):
     """v7: fully in-kernel decode attention with dynamic window length.
     Same contract as v6 except k_win/v_win are [B, Hkv, Wcap, D] (head-major
-    window layout — a free reshape of the cache state, no transpose)."""
+    window layout — a free reshape of the cache state, no transpose).
+
+    ``return_norm``: also return the final online-softmax stats (m, l), each
+    [B, Hkv, G, 1] fp32 (post-softmax weight at score s is exp(s - m) / l)."""
     B, _, Hq, D = q.shape
     Hkv = k_win.shape[1]
     W = k_win.shape[2]
@@ -1583,8 +1601,12 @@ def fused_sparse_decode_attention_v7(q, kv_pool, k_win, v_win, n_chunks,
                   pl.BlockSpec(memory_space=pltpu.ANY),
                   pl.BlockSpec(memory_space=pltpu.ANY),
                   fixed((hpb, G8, D))],
-        out_specs=pl.BlockSpec((hpb, G8, D), lambda b, sref: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(pl.BlockSpec((hpb, G8, D), lambda b, sref: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((hpb, G8, 1), lambda b, sref: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((hpb, G8, 1), lambda b, sref: (b, 0, 0),
+                                memory_space=pltpu.VMEM)),
         scratch_shapes=[
             pltpu.VMEM((2, hpb, ROWS, 128), jnp.int16),
             pltpu.VMEM((2, 2, hpb, wt, D), jnp.bfloat16),
@@ -1595,11 +1617,18 @@ def fused_sparse_decode_attention_v7(q, kv_pool, k_win, v_win, n_chunks,
             pltpu.VMEM((hpb, G8, D), jnp.float32),
         ],
     )
-    out = pl.pallas_call(
+    out, m_c, l_c = pl.pallas_call(
         functools.partial(_fused_v7_kernel, kfmt=kfmt, vfmt=vfmt, hpb=hpb,
                           wt=wt, scale=float(1.0 / np.sqrt(D)), window=window),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((BH, G8, D), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((BH, G8, D), jnp.float32),
+                   jax.ShapeDtypeStruct((BH, G8, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((BH, G8, 1), jnp.float32)),
         interpret=_interpret(),
     )(scalars, kv_pool, kw, vw, qb)
-    return out[:, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
+    out = out[:, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
+    if not return_norm:
+        return out
+    m = m_c[:, :G].reshape(B, Hkv, G, 1)
+    l = l_c[:, :G].reshape(B, Hkv, G, 1)
+    return out, m, l

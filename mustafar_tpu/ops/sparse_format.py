@@ -351,6 +351,10 @@ def decode_stream(rows: jnp.ndarray, fmt: ChunkFormat) -> jnp.ndarray:
     return jnp.where(bits > 0, dense, 0).astype(jnp.bfloat16)
 
 
-def prune_and_encode_stream(dense: jnp.ndarray, fmt: ChunkFormat) -> jnp.ndarray:
-    mask = topk_mask(dense, fmt.keep)
+def prune_and_encode_stream(dense: jnp.ndarray, fmt: ChunkFormat,
+                            score: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Prune each token row to fmt.keep survivors and pack.  The keep rule is
+    top-|x| by default; ``score`` (same shape, non-negative fp32) substitutes
+    an output-aware ranking (Opa policies, cache/compressed.py)."""
+    mask = topk_mask(dense if score is None else score, fmt.keep)
     return encode_stream(jnp.where(mask, dense, 0).astype(dense.dtype), fmt)
