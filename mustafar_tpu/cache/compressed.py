@@ -618,10 +618,6 @@ class CompressedKVCache:
                 (li, 0, 0, win_len - 1, 0))
 
         opa = self.k_opa or self.v_opa
-        if opa:
-            assert self.mesh is None, (
-                "compressed Opa decode is single-device for now (score "
-                "accumulation is not yet expressed through shard_map)")
         p_win = None
         if self.use_pallas:
             if self.qcodec is not None:
@@ -634,8 +630,9 @@ class CompressedKVCache:
                         window=self.window, return_norm=self.v_opa)
                 if self.mesh is not None:
                     from mustafar_tpu.parallel import sharding as sh
-                    call = sh.shard_headlocal_attend(call, self.mesh,
-                                                     quant=True, stacked=True)
+                    call = sh.shard_headlocal_attend(
+                        call, self.mesh, quant=True, stacked=True,
+                        extra_out="norm" if self.v_opa else None)
                 out = call(q, full["kv_pool"], full["kv_scales"],
                            upd["k_win"], upd["v_win"], n_chunks, win_len, li)
             else:
@@ -653,7 +650,9 @@ class CompressedKVCache:
                         window=self.window, return_norm=self.v_opa)
                 if self.mesh is not None:
                     from mustafar_tpu.parallel import sharding as sh
-                    call = sh.shard_headlocal_attend(call, self.mesh)
+                    call = sh.shard_headlocal_attend(
+                        call, self.mesh,
+                        extra_out="norm" if self.v_opa else None)
                 out = call(q, pool6, kw, vw, n_chunks, win_len)
             if self.v_opa:
                 out, m_st, l_st = out
@@ -712,10 +711,6 @@ class CompressedKVCache:
         vw = jax.lax.dynamic_index_in_dim(upd["v_win"], li, 0, keepdims=False)
 
         opa = self.k_opa or self.v_opa
-        if opa:
-            assert self.mesh is None, (
-                "compressed Opa decode is single-device for now (score "
-                "accumulation is not yet expressed through shard_map)")
         p_win = None
         if self.use_pallas and Hkv in (8, 16):
             if self.qcodec is not None:
@@ -729,7 +724,8 @@ class CompressedKVCache:
                     from mustafar_tpu.parallel import sharding as sh
                     call = sh.shard_headlocal_attend(
                         call, self.mesh, per_slot=True, quant=True,
-                        stacked=True)
+                        stacked=True,
+                        extra_out="win_probs" if self.v_opa else None)
                 out = call(q, full["kv_pool"], full["kv_scales"], kw, vw,
                            nc, win_len, li)
             else:
@@ -743,8 +739,9 @@ class CompressedKVCache:
                         return_win_probs=self.v_opa)
                 if self.mesh is not None:
                     from mustafar_tpu.parallel import sharding as sh
-                    call = sh.shard_headlocal_attend(call, self.mesh,
-                                                     per_slot=True)
+                    call = sh.shard_headlocal_attend(
+                        call, self.mesh, per_slot=True,
+                        extra_out="win_probs" if self.v_opa else None)
                 out = call(q, pool6, kw, vw, nc, win_len)
             if self.v_opa:
                 out, p_win = out

@@ -74,10 +74,17 @@ def cache_specs(engine: EngineConfig, cache_state: dict) -> dict:
     model.  Compressed pools: [L, B*Hkv, ...] -> joint dim over (data, model);
     windows like dense; n_chunks replicated.
     """
+    from mustafar_tpu.config import CacheMode
+    compressed = engine.cache_mode == CacheMode.COMPRESSED
     specs = {}
     for key, val in cache_state.items():
         if key == "n_chunks":
             specs[key] = P(None,)
+        elif key in ("k_score", "v_score") and compressed:
+            # compressed-mode Opa accumulators are window-shaped
+            # [L, B, Hkv, wcap, D] (head-major like k_win), NOT the masked
+            # cache's [L, B, S, Hkv, D]
+            specs[key] = P(None, "data", "model", None, None)
         elif key in ("k", "v", "k_score", "v_score"):
             specs[key] = P(None, "data", None, "model", None)
         elif key in ("k_win", "v_win"):
@@ -98,7 +105,8 @@ def cache_specs(engine: EngineConfig, cache_state: dict) -> dict:
 
 
 def shard_headlocal_attend(fn, mesh: Mesh, per_slot: bool = False,
-                           quant: bool = False, stacked: bool = False):
+                           quant: bool = False, stacked: bool = False,
+                           extra_out: str | None = None):
     """shard_map a compressed decode-attention call so each shard runs the
     Pallas kernel on its local (batch x kv-head) rows only.
 
@@ -115,7 +123,15 @@ def shard_headlocal_attend(fn, mesh: Mesh, per_slot: bool = False,
     [mc, B, Hkv, ROWS, 128] and per-layer windows.  fn reshapes its local
     block to the kernel's b-major [.., BH', ..] view.  per_slot:
     n_chunks/win_len are [B] vectors sharded over "data" (continuous
-    batching).  quant: fn takes the scales state right after the pool."""
+    batching).  quant: fn takes the scales state right after the pool.
+
+    extra_out: Opa decode scoring needs per-(batch, kv-head) softmax state
+    back from the kernel — "norm" for the (out, m, l) triple (m/l
+    [B, Hkv, G, 1], uniform-batch ``return_norm``) or "win_probs" for
+    (out, p_win [B, Hkv, W]) (per-slot ``return_win_probs``).  Both extras
+    are head-local like the output, so they shard ("data", "model") with no
+    collectives; the score accumulation that consumes them is elementwise
+    over [B, Hkv, ...] and runs under plain GSPMD outside this shard_map."""
     qspec = P("data", None, "model", None)
     wspec4 = P("data", "model", None, None)          # per-layer [B,Hkv,W,D]
     wspec5 = P(None, "data", "model", None, None)    # stacked [L,B,Hkv,W,D]
@@ -129,10 +145,18 @@ def shard_headlocal_attend(fn, mesh: Mesh, per_slot: bool = False,
         extra = (P(None, "data", "model", None, None),) if quant else ()
         tail_li = ()
     scal = P("data") if per_slot else P()
+    if extra_out == "norm":
+        out_specs = (qspec, P("data", "model", None, None),
+                     P("data", "model", None, None))
+    elif extra_out == "win_probs":
+        out_specs = (qspec, P("data", "model", None))
+    else:
+        assert extra_out is None, extra_out
+        out_specs = qspec
     return jax.shard_map(
         fn, mesh=mesh,
         in_specs=(qspec, pool, *extra, wspec, wspec, scal, scal, *tail_li),
-        out_specs=qspec,
+        out_specs=out_specs,
         # pallas_call out_shapes carry no varying-mesh-axes annotation
         check_vma=False)
 

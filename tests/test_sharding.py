@@ -189,6 +189,68 @@ def test_compressed_kernel_under_mesh_matches_single_device(codec):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("method", [PruneMethod.KT_OPA_VT_MAG,
+                                    PruneMethod.KT_MAG_VT_OPA])
+def test_compressed_opa_under_mesh_matches_single_device(method):
+    """Opa pruning in compressed mode under dp x tp: the kernel's softmax
+    stats ride out of the shard_map ((out, m, l), extra_out="norm" in
+    parallel/sharding.shard_headlocal_attend) and the score accumulation /
+    window-prob reconstruction run as plain GSPMD ops on the sharded
+    [L, B, Hkv, wcap, D] score state.  Logits AND accumulated scores must
+    match single-device execution."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, name="shard-opa", head_dim=128,
+                              num_heads=4, num_kv_heads=2, hidden_size=512,
+                              intermediate_size=1024)
+    eng = EngineConfig(model=cfg, cache_mode=CacheMode.COMPRESSED,
+                       prune=PruneConfig(method=method,
+                                         k_sparsity=0.5, v_sparsity=0.5),
+                       max_seq_len=1056, prefill_bucket=512, chunk_size=256,
+                       codec="q8q4")
+    from mustafar_tpu.cache.compressed import CompressedKVCache
+    params = init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32)
+    B = 4
+    tokens = jnp.asarray(np.random.RandomState(2).randint(0, 256, (B, 400)))
+    score_key = "k_score" if method is PruneMethod.KT_OPA_VT_MAG else "v_score"
+
+    def run(impl, params, cache, tokens):
+        def fn(params, tokens, cache):
+            logits, cache = llama.prefill(cfg, params, tokens, cache, impl,
+                                          jnp.int32(400))
+            tok = jnp.argmax(logits[:, 399], axis=-1).astype(jnp.int32)[:, None]
+            pos = 400
+            for _ in range(2):      # accumulate scores across 2 decode steps
+                logits2, cache = llama.decode_step(cfg, params, tok, cache,
+                                                   impl, jnp.int32(pos))
+                tok = jnp.argmax(logits2[:, 0], axis=-1).astype(jnp.int32)[:, None]
+                pos += 1
+            return logits2[:, 0], cache[score_key]
+        return jax.jit(fn)(params, tokens, cache)
+
+    impl = CompressedKVCache(eng, use_pallas=True)   # interpret mode on CPU
+    ref, ref_sc = run(impl, params, impl.init(B, jnp.float32), tokens)
+
+    mesh = sh.make_mesh(dp=2, tp=2)
+    impl_s = CompressedKVCache(eng, use_pallas=True)
+    impl_s.mesh = mesh
+    pspecs = sh.filter_specs_for(params, sh.param_specs(cfg))
+    params_s = sh.shard_pytree(params, pspecs, mesh)
+    cache = impl_s.init(B, jnp.float32)
+    specs = sh.cache_specs(eng, cache)
+    assert specs[score_key] == P(None, "data", "model", None, None)
+    cache_s = sh.shard_pytree(cache, specs, mesh)
+    tokens_s = jax.device_put(tokens, NamedSharding(mesh, P("data", None)))
+    got, got_sc = run(impl_s, params_s, cache_s, tokens_s)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    assert np.asarray(got_sc).sum() > 0        # scores actually accumulated
+    # scores are exp() of dp x tp matmul outputs: reduction-order noise in
+    # the projections (logits diff ~1e-4) amplifies; measured max 4e-5 abs
+    np.testing.assert_allclose(np.asarray(got_sc), np.asarray(ref_sc),
+                               rtol=5e-3, atol=1e-4)
+
+
 def test_graft_dryrun():
     import importlib.util
     spec = importlib.util.spec_from_file_location(
