@@ -118,7 +118,7 @@ class CompressedKVCache:
         self.decode_stacked_ro = pools
         self.decode_stacked_rw = ("k_win", "v_win") + self.score_keys
         self.segment_stacked_ro = pools
-        self.segment_stacked_rw = ("k_win", "v_win")
+        self.segment_stacked_rw = ("k_win", "v_win") + self.score_keys
         # compact()/compact_slots() still scan per layer; pools stay out
         self.segment_invariant_keys = pools
 
@@ -357,12 +357,21 @@ class CompressedKVCache:
         the window holds tokens [n_chunks*C, seg_start) (length 0 or C); on
         exit they take the same form for s+1, with the final partial segment
         leaving window = [comp_len, true_len) exactly as monolithic prefill.
+
+        Opa policies run STREAMING: monolithic Opa prefill ranks with
+        full-prompt attention statistics (reference
+        llama_mustafar_Kt_Opa_Vt_Mag.py:121-178 — every later query scores
+        every key), which is exactly the O(T^2) state chunked prefill exists
+        to avoid.  Here each chunk is packed with scores accumulated from
+        (a) its own causal intra-segment attention and (b) the one following
+        segment's attention (the chunk sits in the window for exactly one
+        segment before packing) — a lookahead-C truncation of the reference
+        rule, the same trade H2O-style streaming scorers make.  Decode then
+        keeps accumulating on the residual window exactly like the
+        monolithic path (_accumulate_scores).
         """
         from mustafar_tpu.ops.attention import attention_partials, merge_partials
 
-        assert not (self.k_opa or self.v_opa), (
-            "chunked prefill supports Mag policies; Opa prefill needs the "
-            "full-prompt attention statistics (use monolithic prefill)")
         B, Tseg, Hq, D = q.shape
         Hkv = self.model.num_kv_heads
         C, r = self.C, self.r
@@ -438,19 +447,89 @@ class CompressedKVCache:
         total = seg_start + seg_valid
         nc_after = jnp.maximum(total - r, 0) // C
         do_pack = nc_after > nc
+        seg_rows = (jnp.arange(C) < seg_valid)[None, None, :, None]
+
+        # --- streaming Opa scores (see docstring) ---
+        upd = {}
+        sc = {}
+        if self.k_opa or self.v_opa:
+            qvalid = jnp.arange(Tseg) < seg_valid             # [Tseg]
+            wmask_q = wmask & qvalid[:, None]                 # [Tseg, wcap]
+            smask_q = smask & qvalid[:, None] & qvalid[None, :]
+            contrib = {}
+            G = Hq // Hkv
+            if self.k_opa:
+                # reference k rule: |mean_group|q| * k| per element, summed
+                # over the queries allowed to see the key (decode analog:
+                # _accumulate_scores) — qa >= 0 so the sum factors
+                qa = jnp.abs(q.astype(jnp.float32)).reshape(
+                    B, Tseg, Hkv, G, D).mean(axis=3)          # [B,Tseg,Hkv,D]
+                contrib["k_score"] = (
+                    jnp.einsum("bthd,tw->bhwd", qa,
+                               wmask_q.astype(jnp.float32)),
+                    jnp.einsum("bthd,ts->bhsd", qa,
+                               smask_q.astype(jnp.float32)))
+                abs_k = (jnp.abs(kwin.astype(jnp.float32)),
+                         jnp.abs(jnp.swapaxes(k, 1, 2).astype(jnp.float32)))
+            if self.v_opa:
+                # reference v rule: |p * v| with post-softmax p; reconstruct
+                # p from the merged (M, L) of pools ++ window ++ self — the
+                # same stats merge_partials normalizes the output with
+                M = jnp.maximum(jnp.maximum(p_pool[1], p_win[1]), p_self[1])
+                Lden = (p_pool[2] * jnp.exp(p_pool[1] - M)
+                        + p_win[2] * jnp.exp(p_win[1] - M)
+                        + p_self[2] * jnp.exp(p_self[1] - M))
+                Mg = M.reshape(B, Tseg, Hkv, G, 1)
+                Lg = jnp.maximum(Lden.reshape(B, Tseg, Hkv, G, 1), 1e-30)
+                qg = q.reshape(B, Tseg, Hkv, G, D)
+                scale = 1.0 / jnp.sqrt(jnp.float32(D))
+
+                def probs(keys, mask_ts):                     # keys [B,Hkv,S,D]
+                    s = jnp.einsum("bthgd,bhsd->bthgs", qg, keys,
+                                   preferred_element_type=jnp.float32) * scale
+                    p = jnp.exp(s - Mg) / Lg
+                    p = jnp.where(mask_ts[None, :, None, None, :], p, 0.0)
+                    return p.sum(axis=3).sum(axis=1)          # [B,Hkv,S]
+                contrib["v_score"] = (probs(kwin, wmask_q)[..., None],
+                                      probs(jnp.swapaxes(k, 1, 2),
+                                            smask_q)[..., None])
+                abs_v = (jnp.abs(vwin.astype(jnp.float32)),
+                         jnp.abs(jnp.swapaxes(v, 1, 2).astype(jnp.float32)))
+            for key in self.score_keys:
+                absx = abs_k if key == "k_score" else abs_v
+                old = jax.lax.dynamic_index_in_dim(full[key], li, 0,
+                                                   keepdims=False)
+                win_cols = (jnp.arange(self.wcap) < wl)[None, None, :, None]
+                sc[key] = jnp.where(win_cols,
+                                    old + contrib[key][0] * absx[0], 0.0)
+                sc[key + "/self"] = jnp.where(seg_rows,
+                                              contrib[key][1] * absx[1], 0.0)
 
         lc = dict(lc)
         # stage the pack of the current window's C tokens; finalize_segment
         # applies it to pool slot nc AFTER the layer scan (one fused update
         # across layers, pool stays scan-invariant — see __init__ note)
-        new6, scales6 = self._pack_rows_scales(kwin[:, :, :C], vwin[:, :, :C])
+        new6, scales6 = self._pack_rows_scales(
+            kwin[:, :, :C], vwin[:, :, :C],
+            sc["k_score"][:, :, :C] if self.k_opa else None,
+            sc["v_score"][:, :, :C] if self.v_opa else None)
         lc["_seg_rows"] = new6.astype(full["kv_pool"].dtype)
         if scales6 is not None:
             lc["_seg_scales"] = scales6.astype(full["kv_scales"].dtype)
 
+        # shift score buffers exactly like the windows below
+        for key in self.score_keys:
+            tmp = jnp.concatenate(
+                [sc[key], jnp.zeros((B, Hkv, C, D), jnp.float32)], axis=2)
+            tmp = jax.lax.dynamic_update_slice(
+                tmp, sc[key + "/self"], (0, 0, wl, 0))
+            new_sc = jax.lax.dynamic_slice(
+                tmp, (0, 0, do_pack.astype(jnp.int32) * C, 0),
+                (B, Hkv, self.wcap, D))
+            upd[key] = jax.lax.dynamic_update_index_in_dim(
+                full[key], new_sc, li, 0)
+
         # rebuild the window from [old window ++ segment] shifted by the pack
-        upd = {}
-        seg_rows = (jnp.arange(C) < seg_valid)[None, None, :, None]
         for key, win, seg_kv in (("k_win", kwin, k), ("v_win", vwin, v)):
             old = jnp.where(
                 (jnp.arange(self.wcap) < wl)[None, None, :, None], win, 0)

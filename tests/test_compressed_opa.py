@@ -196,6 +196,81 @@ def test_opa_compressed_generation():
             assert len(set(out[0].tolist())) > 3, (method, codec)
 
 
+def test_opa_chunked_prefill_streaming():
+    """Opa x chunked prefill (streaming scores, lookahead-C truncation of the
+    reference's full-prompt rule — cache/compressed.py segment_attend): runs
+    end to end, leaves intra-segment scores on the final window, packs with
+    score ranking, and decode keeps accumulating on the same buffers."""
+    from mustafar_tpu.models import llama
+    params = init_params(MODEL128, jax.random.PRNGKey(9), dtype=jnp.bfloat16)
+    B, T, true_len = 1, 768, 700
+    tokens = jnp.asarray(np.random.RandomState(17).randint(0, 512, (B, T)))
+    Hq, Hkv, D = MODEL128.num_heads, MODEL128.num_kv_heads, MODEL128.head_dim
+    for method, key in ((PruneMethod.KT_OPA_VT_MAG, "k_score"),
+                        (PruneMethod.KT_MAG_VT_OPA, "v_score")):
+        for use_pallas in (False, True):   # XLA fallback + interpret kernels
+            eng = _engine(method, sparsity=0.5, codec="q8q4", max_seq=2048)
+            impl = CompressedKVCache(eng, use_pallas=use_pallas)
+            logits, cache = jax.jit(
+                lambda p, t, c: llama.prefill_chunked(
+                    MODEL128, p, t, c, impl, jnp.int32(true_len))
+            )(params, tokens, impl.init(B, jnp.bfloat16))
+            assert bool(jnp.isfinite(logits).all()), (method, use_pallas)
+            assert int(cache["n_chunks"][0, 0]) == 2          # 700 -> 2 chunks
+            sc = np.asarray(cache[key])                       # [L,B,Hkv,wcap,D]
+            win_len = 700 - 2 * impl.C
+            assert sc[:, :, :, :win_len].sum() > 0            # streaming scores
+            assert (sc[:, :, :, win_len:] == 0).all()         # only live cols
+            # decode continues accumulating on the same state
+            rs = np.random.RandomState(18)
+            qd = jnp.asarray(rs.randn(B, 1, Hq, D), jnp.bfloat16)
+            kd = jnp.asarray(rs.randn(B, 1, Hkv, D), jnp.bfloat16)
+            vd = jnp.asarray(rs.randn(B, 1, Hkv, D), jnp.bfloat16)
+            lc = {k2: v2[0] for k2, v2 in cache.items()}
+            _, lc2 = impl.decode_attend(lc, qd, kd, vd, jnp.int32(700))
+            assert (np.asarray(lc2[key])[:, :, :win_len + 1]
+                    >= sc[0][:, :, :win_len + 1] - 1e-6).all()
+
+
+def test_opa_chunked_pack_ranking_differs_from_mag():
+    """At 0.5 sparsity the streaming Opa ranking must actually reach the
+    chunk codec: K-Opa's |mean|q| * k| reweights CHANNELS within a token row,
+    so the packed pools differ from the Mag ranking's on the same inputs.
+    (V-Opa's per-token scalar prob cannot reorder within a row under the
+    per-row keep budget — |p*v| is proportional to |v| there — so the V pool
+    is the discriminating-free case; K is the one that must move.)"""
+    from mustafar_tpu.models import llama
+    params = init_params(MODEL128, jax.random.PRNGKey(10), dtype=jnp.bfloat16)
+    B, T, true_len = 1, 768, 700
+    tokens = jnp.asarray(np.random.RandomState(19).randint(0, 512, (B, T)))
+    pools = {}
+    for method in (PruneMethod.KT_MAG_VT_MAG, PruneMethod.KT_OPA_VT_MAG):
+        eng = _engine(method, sparsity=0.5, codec="q8q4", max_seq=2048)
+        impl = CompressedKVCache(eng, use_pallas=False)
+        _, cache = jax.jit(
+            lambda p, t, c: llama.prefill_chunked(
+                MODEL128, p, t, c, impl, jnp.int32(true_len))
+        )(params, tokens, impl.init(B, jnp.bfloat16))
+        pools[method] = np.asarray(cache["kv_pool"])
+    assert (pools[PruneMethod.KT_MAG_VT_MAG]
+            != pools[PruneMethod.KT_OPA_VT_MAG]).any()
+
+
+def test_opa_chunked_lossless_at_zero_sparsity():
+    """Sparsity 0 keeps everything, so chunked Opa generation must equal
+    chunked Mag generation token-for-token (through the Generator)."""
+    params = init_params(MODEL128, jax.random.PRNGKey(12), dtype=jnp.bfloat16)
+    prompt = np.random.RandomState(21).randint(0, 512, size=(1, 700))
+    outs = []
+    for method in (PruneMethod.KT_MAG_VT_MAG, PruneMethod.KT_MAG_VT_OPA,
+                   PruneMethod.KT_OPA_VT_MAG):
+        eng = dataclasses.replace(_engine(method, sparsity=0.0, max_seq=2048),
+                                  chunked_prefill=True)
+        outs.append(Generator(eng, params, dtype=jnp.bfloat16)
+                    .generate(prompt, 20)[0].tolist())
+    assert outs[0] == outs[1] == outs[2]
+
+
 def test_opa_lossless_at_zero_sparsity():
     """Sparsity 0 keeps every element regardless of ranking, so Opa compressed
     generation must equal Mag compressed generation token-for-token."""
