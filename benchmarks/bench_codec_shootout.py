@@ -87,6 +87,12 @@ def run_depth(mc, nact, iters):
     qq_fn = jax.jit(lambda q, pool, nc, wl: qa.fused_q_decode_attention(
         q, pool, ksc, vsc, k_win, v_win, nc, wl, codec, mc))
 
+    codec44 = qf.QuantCodec(C, D, 4, 4)
+    q44_pool = jnp.asarray(
+        rs.randint(-2000, 2000, (mc, BH, codec44.stream_rows, 128)), jnp.int16)
+    q44_fn = jax.jit(lambda q, pool, nc, wl: qa.fused_q_decode_attention(
+        q, pool, ksc, vsc, k_win, v_win, nc, wl, codec44, mc))
+
     kd = jnp.asarray(rs.randn(B, Hkv, S, D) * 0.1, jnp.bfloat16)
     vd = jnp.array(kd)
 
@@ -101,28 +107,35 @@ def run_depth(mc, nact, iters):
 
     t_bm = device_time(bm_fn, (q, bm_pool, nc, wl), iters, f"bm{mc}")
     t_qq = device_time(qq_fn, (q, q_pool, nc, wl), iters, f"qq{mc}")
+    t_44 = device_time(q44_fn, (q, q44_pool, nc, wl), iters, f"q44_{mc}")
     t_d = device_time(dense_fn, (q, kd, vd), iters, f"d{mc}")
 
     bm_bytes = (BH * nact * 2 * fmt.stream_rows * 128 * 2
                 + 2 * B * WIN_LEN * Hkv * D * 2)
     qq_bytes = (BH * nact * codec.stream_rows * 128 * 2
                 + 2 * B * WIN_LEN * Hkv * D * 2)
+    q44_bytes = (BH * nact * codec44.stream_rows * 128 * 2
+                 + 2 * B * WIN_LEN * Hkv * D * 2)
     d_bytes = 2 * B * Hkv * S * D * 2
     row = {
         "ctx": S, "chunks": nact,
         "bitmap_us": round(t_bm * 1e6, 1),
         "q8q4_us": round(t_qq * 1e6, 1),
+        "q4q4_us": round(t_44 * 1e6, 1),
         "dense_us": round(t_d * 1e6, 1),
         "bitmap_vs_dense": round(t_d / t_bm, 2),
         "q8q4_vs_dense": round(t_d / t_qq, 2),
+        "q4q4_vs_dense": round(t_d / t_44, 2),
         "q8q4_gbps": round(qq_bytes / t_qq / 1e9, 1),
+        "q4q4_gbps": round(q44_bytes / t_44 / 1e9, 1),
         "dense_gbps": round(d_bytes / t_d / 1e9, 1),
     }
     print(f"ctx {S:6d}: bitmap {row['bitmap_us']:8.1f} us | "
           f"q8q4 {row['q8q4_us']:8.1f} us ({row['q8q4_gbps']:5.1f} GB/s) | "
+          f"q4q4 {row['q4q4_us']:8.1f} us ({row['q4q4_gbps']:5.1f} GB/s) | "
           f"dense {row['dense_us']:8.1f} us ({row['dense_gbps']:5.1f} GB/s) | "
-          f"q8q4 {row['q8q4_vs_dense']:.2f}x, bitmap "
-          f"{row['bitmap_vs_dense']:.2f}x vs dense", flush=True)
+          f"q8q4 {row['q8q4_vs_dense']:.2f}x, q4q4 {row['q4q4_vs_dense']:.2f}x, "
+          f"bitmap {row['bitmap_vs_dense']:.2f}x vs dense", flush=True)
     return row
 
 

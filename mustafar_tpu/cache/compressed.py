@@ -94,8 +94,9 @@ class CompressedKVCache:
             self.vfmt = sf.ChunkFormat(C, m.head_dim, self.v_keep)
         else:
             from mustafar_tpu.ops import quant_format as qf
-            self.qcodec = qf.QuantCodec(
-                C, m.head_dim, 8, 4 if engine.codec == "q8q4" else 8)
+            kbits, vbits = {"q8": (8, 8), "q8q4": (8, 4),
+                            "q4q4": (4, 4)}[engine.codec]
+            self.qcodec = qf.QuantCodec(C, m.head_dim, kbits, vbits)
             self.kfmt = self.vfmt = None
         self.window = m.sliding_window
         if self.window is not None:
@@ -582,9 +583,11 @@ class CompressedKVCache:
         B, Tseg, Hq, D = q.shape
         S = self.max_chunks * self.C
         k_dense, v_dense = self._dense_pools(lc, B)
-        # [B, Hkv, S, D] -> [B, S, Hkv, D]
-        k_dense = jnp.transpose(k_dense, (0, 2, 1, 3))
-        v_dense = jnp.transpose(v_dense, (0, 2, 1, 3))
+        # [B, Hkv, S, D] -> [B, S, Hkv, D]; match the query dtype (the pools
+        # decode to bf16; in f32 runs a bf16xbf16->f32 dot is UNIMPLEMENTED
+        # in the CPU thunk runtime this fallback exists for)
+        k_dense = jnp.transpose(k_dense, (0, 2, 1, 3)).astype(q.dtype)
+        v_dense = jnp.transpose(v_dense, (0, 2, 1, 3)).astype(q.dtype)
         mask = (jnp.arange(S) < nc * self.C)[None, :] & jnp.ones((Tseg, 1), bool)
         if self.window is not None:
             qpos = seg_start + jnp.arange(Tseg)

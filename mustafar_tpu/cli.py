@@ -38,10 +38,11 @@ def _add_engine_args(p: argparse.ArgumentParser):
                         "compressed cache (O(chunk) activation memory; "
                         "prefill attends to the pruned past)")
     p.add_argument("--codec", default="bitmap",
-                   choices=["bitmap", "q8", "q8q4"],
+                   choices=["bitmap", "q8", "q8q4", "q4q4"],
                    help="compressed-chunk codec: bitmap-packed sparse "
                         "(capacity-optimal) or quantized-dense "
-                        "(latency-optimal; q8q4 matches bitmap compression)")
+                        "(latency-optimal; q8q4 matches bitmap compression, "
+                        "q4q4 = 4x bytes for high sparsity)")
     p.add_argument("--weights", default="bf16", choices=["bf16", "int8"],
                    help="weight-only quantization (int8: half the weight "
                         "streaming/residency; models/quant.py)")

@@ -194,18 +194,21 @@ class EngineConfig:
     #   "bitmap" — bitmap-packed sparse streams (ops/sparse_format.py), the
     #     TPU redesign of the reference's 64-tile format; maximum capacity
     #     (2.67x at keep=40, 3.2x at exact_keep=32).
-    #   "q8" / "q8q4" — pruned chunks stored dense-zeroed and quantized
-    #     (int8 K + int8/int4 V, ops/quant_format.py); expansion is pure
-    #     widen arithmetic, so decode runs at the no-expansion floor
-    #     (measured: bitmap expansion costs 2.5-5 ms/call at 10k ctx and can
-    #     never beat dense per call on the VPU — docs/PERFORMANCE.md).
+    #   "q8" / "q8q4" / "q4q4" — pruned chunks stored dense-zeroed and
+    #     quantized (int8/int4 K + int8/int4 V, ops/quant_format.py);
+    #     expansion is pure widen arithmetic, so decode runs at the
+    #     no-expansion floor (measured: bitmap expansion costs 2.5-5 ms/call
+    #     at 10k ctx and can never beat dense per call on the VPU —
+    #     docs/PERFORMANCE.md).  q4q4 is the high-sparsity codec: 4.0x KV
+    #     bytes vs dense bf16 (the int4 levels only need to span the kept
+    #     top-|x| values once 0.9 sparsity has zeroed the rest).
     codec: str = "bitmap"
     # Sharding (new capability vs the single-GPU reference — SURVEY.md §2.6).
     dp_axis: str = "data"
     tp_axis: str = "model"
 
     def __post_init__(self):
-        assert self.codec in ("bitmap", "q8", "q8q4"), self.codec
+        assert self.codec in ("bitmap", "q8", "q8q4", "q4q4"), self.codec
         if self.cache_mode == CacheMode.COMPRESSED:
             if self.codec != "bitmap":
                 assert self.chunk_size % 4 == 0, self.chunk_size

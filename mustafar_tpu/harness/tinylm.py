@@ -274,19 +274,49 @@ def load_ckpt(out_dir: str, dtype=jnp.float32):
 
 def _engine(cfg: ModelConfig, mode: str, sparsity: float,
             max_seq_len: int) -> EngineConfig:
-    """mode: dense | masked | compressed | compressed-q8 | compressed-q8q4."""
+    """Grid-mode grammar (each mode string names one engine variant):
+
+        dense
+        (masked|compressed)[-<codec>][:<method>][+chunked][+r<N>][+c<N>]
+
+    ``codec``: bitmap (default) | q8 | q8q4 (compressed only).
+    ``method``: a PruneMethod value (default kt_mag_vt_mag) — this is how the
+    Opa/ThinK variants enter the accuracy grid.
+    ``+chunked``: chunked (segment-streamed) prefill (compressed only);
+    ``+rN`` / ``+cN``: residual window / compaction chunk size overrides for
+    the residual-window sensitivity study.
+    Examples: ``masked:kt_mag_vt_opa``, ``compressed-q8q4:kt_opa_vt_mag+chunked``,
+    ``compressed-q8q4+r64+c128``.
+    """
     if mode == "dense":
         return EngineConfig(model=cfg, cache_mode=CacheMode.DENSE,
                             max_seq_len=max_seq_len)
+    parts = mode.split("+")
+    base, flags = parts[0], parts[1:]
+    method = "kt_mag_vt_mag"
+    if ":" in base:
+        base, method = base.split(":", 1)
     codec = "bitmap"
-    if mode.startswith("compressed-"):
-        mode, codec = mode.split("-", 1)
-    cache = CacheMode.MASKED if mode == "masked" else CacheMode.COMPRESSED
+    if base.startswith("compressed-"):
+        base, codec = base.split("-", 1)
+    assert base in ("masked", "compressed"), mode
+    chunked, residual, chunk = False, 32, 256
+    for f in flags:
+        if f == "chunked":
+            chunked = True
+        elif f[:1] == "r":
+            residual = int(f[1:])
+        elif f[:1] == "c":
+            chunk = int(f[1:])
+        else:
+            raise ValueError(f"unknown grid-mode flag {f!r} in {mode!r}")
+    cache = CacheMode.MASKED if base == "masked" else CacheMode.COMPRESSED
     return EngineConfig(
         model=cfg, cache_mode=cache,
-        prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
-                          k_sparsity=sparsity, v_sparsity=sparsity),
-        max_seq_len=max_seq_len, codec=codec)
+        prune=PruneConfig(method=PruneMethod(method), k_sparsity=sparsity,
+                          v_sparsity=sparsity, residual_length=residual),
+        max_seq_len=max_seq_len, codec=codec, chunk_size=chunk,
+        chunked_prefill=chunked)
 
 
 def score_nll(engine: EngineConfig, params, tokens: np.ndarray,
@@ -311,8 +341,12 @@ def score_nll(engine: EngineConfig, params, tokens: np.ndarray,
     @jax.jit
     def run(params, toks):
         cache = impl.init(B, dtype)
-        _, cache = llama.prefill(cfg, params, toks[:, :P], cache, impl,
-                                 jnp.int32(P), last_only=True)
+        if engine.chunked_prefill:
+            _, cache = llama.prefill_chunked(cfg, params, toks[:, :P], cache,
+                                             impl, jnp.int32(P))
+        else:
+            _, cache = llama.prefill(cfg, params, toks[:, :P], cache, impl,
+                                     jnp.int32(P), last_only=True)
         logits_buf = jnp.zeros((B, n_dec, cfg.vocab_size), jnp.float32)
 
         def step(state):

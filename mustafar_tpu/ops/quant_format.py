@@ -55,7 +55,7 @@ class QuantCodec:
 
     def __post_init__(self):
         assert self.dim == 128, "lane-width layouts require head_dim 128"
-        assert self.kbits == 8 and self.vbits in (8, 4)
+        assert self.kbits in (8, 4) and self.vbits in (8, 4)
         assert self.chunk % 4 == 0
 
     @staticmethod

@@ -127,10 +127,12 @@ def _ref_decode(qx, kdeq, vdeq, k_win, v_win, nact, wl, window=None,
     return out.reshape(B, 1, Hq, D)
 
 
-@pytest.mark.parametrize("vbits,window,wl", [(8, None, 120), (4, None, 120),
-                                             (4, 700, 120), (4, None, 0)])
-def test_q_decode_kernel_matches_reference(vbits, window, wl):
-    codec = qf.QuantCodec(256, 128, 8, vbits)
+@pytest.mark.parametrize("kbits,vbits,window,wl",
+                         [(8, 8, None, 120), (8, 4, None, 120),
+                          (8, 4, 700, 120), (8, 4, None, 0),
+                          (4, 4, None, 120)])
+def test_q_decode_kernel_matches_reference(kbits, vbits, window, wl):
+    codec = qf.QuantCodec(256, 128, kbits, vbits)
     B, Hkv, G, D, W = 2, 2, 2, 128, 288
     mc, nact = 4, 3
     rs = np.random.RandomState(2)
@@ -213,7 +215,7 @@ def test_q_segment_kernel_matches_reference():
 # cache integration
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("codec", ["q8", "q8q4"])
+@pytest.mark.parametrize("codec", ["q8", "q8q4", "q4q4"])
 def test_q_cache_xla_and_interpret_agree(codec):
     """Pallas (interpret) and XLA-fallback decode agree on the same state."""
     eng = _engine(0.7, codec)
@@ -253,7 +255,7 @@ def test_q_decode_step_tracks_bitmap():
     qd = jnp.asarray(rs.randn(B, 1, Hq, D) * 0.3, jnp.float32)
     zero = jnp.zeros((B, 1, Hkv, D), jnp.float32)
     outs = {}
-    for codec in ["bitmap", "q8", "q8q4"]:
+    for codec in ["bitmap", "q8", "q8q4", "q4q4"]:
         impl = CompressedKVCache(_engine(0.5, codec), use_pallas=False)
         lc = {key: val[0] for key, val in impl.init(B, jnp.bfloat16).items()}
         _, lc = impl.prefill_attend(lc, q, k, v, jnp.int32(500))
@@ -262,6 +264,9 @@ def test_q_decode_step_tracks_bitmap():
     ref = np.abs(outs["bitmap"]).max()
     assert np.abs(outs["q8"] - outs["bitmap"]).max() < 0.02 * ref
     assert np.abs(outs["q8q4"] - outs["bitmap"]).max() < 0.15 * ref
+    # int4 K perturbs the softmax logits, not just the pv combine — wider
+    # noise band, still tracking the exact-bf16 codec
+    assert np.abs(outs["q4q4"] - outs["bitmap"]).max() < 0.3 * ref
 
 
 def test_q_generation_runs():
