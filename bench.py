@@ -5,11 +5,13 @@ batch 32, prompt 300, generate 600, K=V=0.7, fp16, sm_89): measures sparse
 (compressed cache + Pallas kernels) decode throughput against the dense-cache
 baseline on the same model/config and prints ONE JSON line.
 
-A full Llama-3-8B in bf16 (~16 GiB) does not fit a single v5e-lite chip next
-to its KV cache, so the bench uses the Llama-3-8B layer geometry at reduced
-depth (same per-layer work; layer count chosen to fit HBM).  vs_baseline is
-the sparse/dense tokens-per-second ratio at identical shapes — the quantity
-the reference's kernel is built to improve.
+Headline (round 3): the FULL 32-layer Llama-3-8B — the model the reference
+actually benchmarks — served with weight-only int8 (models/quant.py; 8.1 GiB
+resident vs 16 GiB bf16, which does not fit one v5e-lite chip beside its
+cache).  vs_baseline is the sparse/dense tokens-per-second ratio at identical
+weights and shapes — the quantity the reference's kernel is built to improve.
+W4 (int4 blocked weights) legs and the round-1/2 16-layer bf16 legs are
+reported in detail for round-over-round continuity.
 """
 
 import dataclasses
@@ -62,16 +64,27 @@ def _hbm_gib(cache_impl, batch, dtype):
         return None, "unavailable"
 
 
+def _engines(cfg, max_seq):
+    from mustafar_tpu.config import CacheMode, EngineConfig, PruneConfig, PruneMethod
+
+    # q8q4 codec: pruned chunks stored dense-zeroed int8-K/int4-V — same
+    # 2.67x compression as the bitmap codec, but expansion is pure widen
+    # arithmetic so decode beats dense per call (docs/PERFORMANCE.md)
+    sparse = EngineConfig(
+        model=cfg, cache_mode=CacheMode.COMPRESSED,
+        prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                          k_sparsity=0.7, v_sparsity=0.7),
+        max_seq_len=max_seq, prefill_bucket=256, chunk_size=256, codec="q8q4")
+    dense = EngineConfig(model=cfg, cache_mode=CacheMode.DENSE,
+                         max_seq_len=max_seq, prefill_bucket=256)
+    return sparse, dense
+
+
 def main(batch=None, prompt_len=None, gen_tokens=None):
-    from mustafar_tpu.config import (CacheMode, EngineConfig, LLAMA3_8B,
-                                     PruneConfig, PruneMethod)
+    from mustafar_tpu.config import LLAMA3_8B
     from mustafar_tpu.models.llama import init_params
 
     on_tpu = jax.default_backend() == "tpu"
-    # Llama-3-8B geometry; depth fitted to single-chip HBM (16 GiB v5e-lite).
-    layers = 16 if on_tpu else 2
-    cfg = dataclasses.replace(LLAMA3_8B, num_layers=layers,
-                              vocab_size=32000 if on_tpu else 512)
     B, dflt_prompt, dflt_gen = (32, 300, 600) if on_tpu else (2, 64, 16)
     B = batch or B
     prompt_len = prompt_len or dflt_prompt
@@ -82,72 +95,71 @@ def main(batch=None, prompt_len=None, gen_tokens=None):
     # DENSE baseline 939 -> 799 tok/s by padding its cache to 1624).
     max_seq = max(1312, ((prompt_len + gen_tokens + 255) // 256) * 256 + 288) \
         if on_tpu else 640
+    detail = {"batch": B, "prompt": prompt_len, "gen": gen_tokens,
+              "k_sparsity": 0.7, "v_sparsity": 0.7, "codec": "q8q4",
+              "backend": jax.default_backend()}
 
-    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    params = jax.block_until_ready(params)
-    prompt = np.random.RandomState(0).randint(1, cfg.vocab_size, (B, prompt_len))
+    # ---- flagship: FULL 32-layer Llama-3-8B (the reference's bench model,
+    # mem_spd_test.py:7-17), weight-only int8 then int4 ----------------------
+    cfg_full = LLAMA3_8B if on_tpu else dataclasses.replace(
+        LLAMA3_8B, num_layers=2, vocab_size=512, intermediate_size=256,
+        hidden_size=256, num_heads=2, num_kv_heads=2)
+    sparse_eng, dense_eng = _engines(cfg_full, max_seq)
+    prompt = np.random.RandomState(0).randint(
+        1, cfg_full.vocab_size, (B, prompt_len))
 
-    # q8q4 codec: pruned chunks stored dense-zeroed int8-K/int4-V — same
-    # 2.67x compression as the bitmap codec, but expansion is pure widen
-    # arithmetic so decode beats dense per call (docs/PERFORMANCE.md round-2
-    # section; bitmap codec measured separately at 987.6 tok/s = 1.05x)
-    sparse_eng = EngineConfig(
-        model=cfg, cache_mode=CacheMode.COMPRESSED,
-        prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
-                          k_sparsity=0.7, v_sparsity=0.7),
-        max_seq_len=max_seq, prefill_bucket=256, chunk_size=256, codec="q8q4")
-    dense_eng = EngineConfig(model=cfg, cache_mode=CacheMode.DENSE,
-                             max_seq_len=max_seq, prefill_bucket=256)
-
+    from mustafar_tpu.models.quant import (init_params_w4, init_params_w8,
+                                           weight_bytes)
+    w8 = jax.block_until_ready(init_params_w8(cfg_full, jax.random.PRNGKey(0)))
+    detail["full8b_w8_weights_gib"] = round(weight_bytes(w8) / 2**30, 2)
     sparse_tps, sparse_dt, (hbm_sparse, hbm_kind) = build(
-        sparse_eng, params, jnp.bfloat16, prompt, gen_tokens)
+        sparse_eng, w8, jnp.bfloat16, prompt, gen_tokens)
     dense_tps, dense_dt, (hbm_dense, _) = build(
-        dense_eng, params, jnp.bfloat16, prompt, gen_tokens)
+        dense_eng, w8, jnp.bfloat16, prompt, gen_tokens)
+    del w8
+    detail.update({
+        "model": f"llama-3-8b x{cfg_full.num_layers}L (full) + W8",
+        "dense_tok_s": round(dense_tps, 1),
+        "sparse_s_per_gen": round(sparse_dt, 3),
+        "dense_s_per_gen": round(dense_dt, 3),
+        # HBM (GiB) measured while each engine's cache was live;
+        # hbm_kind "peak" = device counter, "live" = resident buffers
+        "hbm_sparse_gib": hbm_sparse,
+        "hbm_dense_gib": hbm_dense,
+        "hbm_kind": hbm_kind,
+    })
 
-    # weight-only int8/int4 serving (models/quant.py): same engines,
-    # quantized weights — halves (W8) then re-halves (W4 residency) the
-    # weight streaming that dominates the decode step.  Kept out of the
-    # headline (the reference is fp16-weight; vs_baseline stays the
-    # sparse/dense ratio at reference precision) but reported.
-    from mustafar_tpu.models.quant import quantize_params, quantize_params_w4
-    q4params = jax.block_until_ready(quantize_params_w4(params))
-    qparams = jax.block_until_ready(quantize_params(params, donate=True))
-    del params
-    sparse_w8_tps, _, (hbm_sparse_w8, _) = build(
-        sparse_eng, qparams, jnp.bfloat16, prompt, gen_tokens)
-    dense_w8_tps, _, _ = build(
-        dense_eng, qparams, jnp.bfloat16, prompt, gen_tokens)
-    del qparams
-    sparse_w4_tps, _, (hbm_sparse_w4, _) = build(
-        sparse_eng, q4params, jnp.bfloat16, prompt, gen_tokens)
-    dense_w4_tps, _, _ = build(
-        dense_eng, q4params, jnp.bfloat16, prompt, gen_tokens)
+    w4 = jax.block_until_ready(init_params_w4(cfg_full, jax.random.PRNGKey(0)))
+    detail["full8b_w4_weights_gib"] = round(weight_bytes(w4) / 2**30, 2)
+    s4_tps, _, (hbm_s4, _) = build(sparse_eng, w4, jnp.bfloat16, prompt,
+                                   gen_tokens)
+    d4_tps, _, _ = build(dense_eng, w4, jnp.bfloat16, prompt, gen_tokens)
+    del w4
+    detail.update({"sparse_w4_tok_s": round(s4_tps, 1),
+                   "dense_w4_tok_s": round(d4_tps, 1),
+                   "hbm_sparse_w4_gib": hbm_s4})
+
+    # ---- continuity leg: reference geometry at reduced depth, bf16 weights
+    # (the round-1/2 headline — full bf16 does not fit one 16 GiB chip) -----
+    layers = 16 if on_tpu else 2
+    cfg16 = dataclasses.replace(LLAMA3_8B, num_layers=layers,
+                                vocab_size=32000 if on_tpu else 512)
+    sparse16, dense16 = _engines(cfg16, max_seq)
+    p16 = np.random.RandomState(0).randint(1, cfg16.vocab_size, (B, prompt_len))
+    params16 = jax.block_until_ready(
+        init_params(cfg16, jax.random.PRNGKey(0), dtype=jnp.bfloat16))
+    s16_tps, _, _ = build(sparse16, params16, jnp.bfloat16, p16, gen_tokens)
+    d16_tps, _, _ = build(dense16, params16, jnp.bfloat16, p16, gen_tokens)
+    del params16
+    detail.update({"bf16_16l_sparse_tok_s": round(s16_tps, 1),
+                   "bf16_16l_dense_tok_s": round(d16_tps, 1)})
 
     print(json.dumps({
-        "metric": "sparse_decode_throughput",
+        "metric": "full8b_w8_sparse_decode_throughput",
         "value": round(sparse_tps, 1),
         "unit": "tok/s",
         "vs_baseline": round(sparse_tps / dense_tps, 3),
-        "detail": {
-            "model": f"llama3-8b-geometry x{layers}L",
-            "batch": B, "prompt": prompt_len, "gen": gen_tokens,
-            "k_sparsity": 0.7, "v_sparsity": 0.7, "codec": "q8q4",
-            "dense_tok_s": round(dense_tps, 1),
-            "sparse_s_per_gen": round(sparse_dt, 3),
-            "dense_s_per_gen": round(dense_dt, 3),
-            # HBM (GiB) measured while each engine's cache was live;
-            # hbm_kind "peak" = device counter, "live" = resident buffers
-            "hbm_sparse_gib": hbm_sparse,
-            "hbm_dense_gib": hbm_dense,
-            "hbm_kind": hbm_kind,
-            "sparse_w8_tok_s": round(sparse_w8_tps, 1),
-            "dense_w8_tok_s": round(dense_w8_tps, 1),
-            "hbm_sparse_w8_gib": hbm_sparse_w8,
-            "sparse_w4_tok_s": round(sparse_w4_tps, 1),
-            "dense_w4_tok_s": round(dense_w4_tps, 1),
-            "hbm_sparse_w4_gib": hbm_sparse_w4,
-            "backend": jax.default_backend(),
-        },
+        "detail": detail,
     }))
 
 
