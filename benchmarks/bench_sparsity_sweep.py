@@ -71,9 +71,12 @@ def run(keep: int, mc: int, nact: int, win_len: int, iters: int,
     q = jnp.asarray(rs.randn(B, 1, Hkv * G, D) * 0.1, jnp.bfloat16)
     nc, wl = jnp.int32(nact), jnp.int32(win_len)
 
-    sparse_fn = jax.jit(lambda q, nc, wl: ska.fused_sparse_decode_attention_v7(
-        q, pool, k_win, v_win, nc, wl, fmt, fmt, mc, hpb=hpb))
-    t_sparse = profiled(sparse_fn, (q, nc, wl), f"k{keep}", iters)
+    # big buffers are ARGUMENTS, not jit closures (HTTP 413 on remote compile)
+    sparse_fn = jax.jit(lambda q, pool, nc, wl:
+                        ska.fused_sparse_decode_attention_v7(
+                            q, pool, k_win, v_win, nc, wl, fmt, fmt, mc,
+                            hpb=hpb))
+    t_sparse = profiled(sparse_fn, (q, pool, nc, wl), f"k{keep}", iters)
 
     sparse_bytes = (BH * nact * 2 * fmt.stream_rows * 128 * 2
                     + 2 * B * win_len * Hkv * D * 2)
@@ -87,7 +90,7 @@ def run_dense(S: int, iters: int):
     q = jnp.asarray(rs.randn(B, 1, Hkv * G, D) * 0.1, jnp.bfloat16)
 
     @jax.jit
-    def dense_fn(q):
+    def dense_fn(q, kd, vd):
         qg = q[:, 0].reshape(B, Hkv, G, D)
         s = jnp.einsum("bhgd,bhsd->bhgs", qg, kd,
                        preferred_element_type=jnp.float32) / np.sqrt(D)
@@ -95,7 +98,7 @@ def run_dense(S: int, iters: int):
         return jnp.einsum("bhgs,bhsd->bhgd", w.astype(jnp.bfloat16), vd,
                           preferred_element_type=jnp.float32)
 
-    t = profiled(dense_fn, (q,), f"dense{S}", iters)
+    t = profiled(dense_fn, (q, kd, vd), f"dense{S}", iters)
     return t, 2 * B * Hkv * S * D * 2
 
 

@@ -244,3 +244,72 @@ def test_chunked_prefill_continuous_batching():
     # rollout; require the first 4 tokens of every sequence to match.
     np.testing.assert_array_equal(got[v1][:4], want[u1][:4])
     np.testing.assert_array_equal(got[v2][:4], want[u2][:4])
+
+
+def test_interleaved_admission_matches_blocking():
+    """Segment-per-tick admission must emit exactly the blocking chunked
+    scheduler's tokens (same segment programs; decode slots are independent
+    of the admission sub-cache), while decode KEEPS RUNNING underneath the
+    admission (probed via manual ticks)."""
+    import dataclasses
+    from mustafar_tpu.config import TINY_LLAMA
+    model = dataclasses.replace(TINY_LLAMA, name="tiny128il", num_heads=2,
+                                num_kv_heads=1, head_dim=128, hidden_size=128)
+    eng = EngineConfig(model=model, cache_mode=CacheMode.COMPRESSED,
+                       prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                                         k_sparsity=0.5, v_sparsity=0.5),
+                       max_seq_len=2048, prefill_bucket=256, chunk_size=256,
+                       batch_size=2, chunked_prefill=True)
+    params = init_params(model, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    rs = np.random.RandomState(7)
+    p_short = rs.randint(0, 512, size=100)
+    p_long = rs.randint(0, 512, size=1000)   # 4 admission segments
+
+    cb_blk = ContinuousBatchingEngine(eng, params, dtype=jnp.bfloat16,
+                                      interleave=False)
+    b1, b2 = cb_blk.submit(p_short, 12), cb_blk.submit(p_long, 6)
+    want = cb_blk.run()
+
+    cb_il = ContinuousBatchingEngine(eng, params, dtype=jnp.bfloat16)
+    assert cb_il.interleave
+    i1, i2 = cb_il.submit(p_short, 12), cb_il.submit(p_long, 6)
+    # manual ticks: record the short request's emitted-token count while the
+    # long admission is still streaming segments
+    progress = []
+    for _ in range(10000):
+        if not (cb_il.queue or cb_il._admissions
+                or any(r is not None for r in cb_il.slot_req)):
+            break
+        cb_il._fill_slots()
+        cb_il._decode_step()
+        if cb_il._admissions:
+            progress.append(len(cb_il.requests[i1].out))
+    got = {uid: np.asarray(r.out) for uid, r in cb_il.finished.items()}
+    np.testing.assert_array_equal(got[i1], want[b1])
+    np.testing.assert_array_equal(got[i2], want[b2])
+    # decode advanced during the admission window (the blocking path would
+    # have emitted nothing until the long prefill finished)
+    assert progress and progress[-1] > progress[0], progress
+
+
+def test_cb_sampling_deterministic_per_seed():
+    """SamplingParams reach the batched decode step: non-greedy runs are
+    reproducible for a seed and differ from greedy."""
+    from mustafar_tpu.runtime.generate import SamplingParams
+    eng, params = _setup()
+    rs = np.random.RandomState(3)
+    prompt = rs.randint(0, 512, size=25)
+    sp = SamplingParams(temperature=0.8, top_k=50, seed=11)
+
+    outs = []
+    for _ in range(2):
+        cb = ContinuousBatchingEngine(eng, params, dtype=jnp.float32,
+                                      sampling=sp)
+        uid = cb.submit(prompt, 16)
+        outs.append(cb.run()[uid])
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+    greedy = ContinuousBatchingEngine(eng, params, dtype=jnp.float32)
+    guid = greedy.submit(prompt, 16)
+    gout = greedy.run()[guid]
+    assert not np.array_equal(outs[0], gout)
