@@ -123,6 +123,14 @@ def cmd_train_tiny(args):
     print(f"checkpoint written to {args.out}")
 
 
+def cmd_synth_ckpt(args):
+    from mustafar_tpu.harness.synth_ckpt import write_checkpoint
+    write_checkpoint(args.out, small=args.small, seed=args.seed,
+                     shard_gib=args.shard_gib, rows=args.rows,
+                     ctx_bytes=args.ctx)
+    print(f"synthetic checkpoint written to {args.out}")
+
+
 def cmd_accuracy(args):
     from mustafar_tpu.harness import tinylm
     res = tinylm.run_accuracy(
@@ -172,6 +180,22 @@ def main(argv=None):
     p.add_argument("--hidden", type=int, default=None)
     p.add_argument("--layers", type=int, default=None)
     p.set_defaults(fn=cmd_train_tiny)
+
+    p = sub.add_parser("synth-ckpt",
+                       help="write a synthetic full-layout HF checkpoint "
+                            "(sharded bf16 safetensors + tokenizer) to prove "
+                            "the real-checkpoint predict path")
+    p.add_argument("--out", required=True)
+    p.add_argument("--small", action="store_true",
+                   help="small geometry (tests); default is the full "
+                        "Llama-3.1-8B layout (~15 GiB on disk)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--shard_gib", type=float, default=4.0)
+    p.add_argument("--rows", type=int, default=0,
+                   help="also write N passkey rows to <out>/rows/")
+    p.add_argument("--ctx", type=int, default=4000,
+                   help="passkey row context bytes")
+    p.set_defaults(fn=cmd_synth_ckpt)
 
     p = sub.add_parser("accuracy",
                        help="dense-vs-pruned accuracy grid on a checkpoint")
