@@ -262,8 +262,8 @@ def fused_q_decode_attention(q, kv_pool, kscales, vscales, k_win, v_win,
     # more slots than fetch groups would index pool_hbm out of bounds at
     # trace time in the static prefetch loop (pl.ds(s*fdepth, fdepth))
     nslots = max(1, min(nslots, max_chunks // fdepth))
-    while W % wt:
-        wt //= 2
+    from mustafar_tpu.ops.kernels.sparse_attention import _window_tile
+    wt = _window_tile(W, wt)
 
     qg = q[:, 0].reshape(B, Hkv, G, D)
     qpad = jnp.pad(qg.reshape(BH, G, D), ((0, 0), (0, G8 - G), (0, 0)))

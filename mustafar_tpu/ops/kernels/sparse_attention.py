@@ -129,6 +129,15 @@ def _expand_stream_rows_batched(buf_slot, fmt: ChunkFormat, hpb: int, row_off: i
 # decode), fused_sparse_segment_attention (chunked prefill), and v7 (uniform
 # decode) below, plus the shared expansion helpers above.
 
+
+def _window_tile(W: int, wt: int) -> int:
+    """Largest divisor of the window capacity W that is <= wt and a multiple
+    of 8 (VMEM sublane tiling).  Halving wt until it divides W (the old rule)
+    walks 96 -> ... -> 1 for W = 160 (residual_length 32 + chunk 128) and a
+    1-row window slice fails Mosaic's 8-sublane alignment on real TPU."""
+    cands = [d for d in range(8, min(wt, W) + 1, 8) if W % d == 0]
+    return max(cands) if cands else W
+
 # ---------------------------------------------------------------------------
 # v6ps: per-slot chunk counts (continuous batching over the compressed cache).
 #
@@ -627,8 +636,7 @@ def fused_sparse_decode_attention_v7(q, kv_pool, k_win, v_win, n_chunks,
     NB = BH // hpb
     ROWS = kfmt.stream_rows + vfmt.stream_rows
     assert kv_pool.shape == (max_chunks, BH, ROWS, 128), kv_pool.shape
-    while W % wt:
-        wt //= 2
+    wt = _window_tile(W, wt)
 
     qg = q[:, 0].reshape(B, Hkv, G, D)
     qpad = jnp.pad(qg.reshape(BH, G, D), ((0, 0), (0, G8 - G), (0, 0)))

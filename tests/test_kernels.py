@@ -161,3 +161,50 @@ def test_fused_v7_matches_v6():
         np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2,
                                    err_msg=f"nact={nact} wl={wl} win={win}")
 
+
+
+def test_window_tile_and_nonstandard_wcap():
+    """Window capacities that aren't 96-divisible (e.g. r=32 + C=128 -> 160)
+    must pick an 8-aligned tile (the old halving rule reached wt=1, which
+    fails Mosaic's sublane alignment on real TPU) and still compute
+    correctly."""
+    from mustafar_tpu.ops.kernels.sparse_attention import _window_tile
+    assert _window_tile(160, 96) == 80
+    assert _window_tile(288, 96) == 96
+    assert _window_tile(192, 96) == 96
+    assert _window_tile(104, 96) == 8
+
+    fmt = sf.ChunkFormat(chunk=128, dim=128, keep=14)
+    rs = np.random.RandomState(17)
+    B, Hkv, G = 1, 2, 4
+    Hq = Hkv * G
+    mc, nact = 2, 1
+    C, D, W, wl = 128, 128, 160, 100
+    BH = B * Hkv
+    k_pruned, *_ = make_case(rs, B, Hkv, G, mc, mc, W, 0, fmt=fmt)
+    v_pruned, *_ = make_case(rs, B, Hkv, G, mc, mc, W, 0, fmt=fmt)
+    kp = jnp.asarray(k_pruned.reshape(BH, mc, C, D), jnp.bfloat16)
+    vp = jnp.asarray(v_pruned.reshape(BH, mc, C, D), jnp.bfloat16)
+    pool = jnp.swapaxes(jnp.concatenate(
+        [sf.encode_stream(kp, fmt), sf.encode_stream(vp, fmt)], axis=-2), 0, 1)
+    k_win = rs.randn(B, Hkv, W, D).astype(np.float32); k_win[:, :, wl:] = 0
+    v_win = rs.randn(B, Hkv, W, D).astype(np.float32); v_win[:, :, wl:] = 0
+    q = rs.randn(B, 1, Hq, D).astype(np.float32)
+    out = np.asarray(ska.fused_sparse_decode_attention_v7(
+        jnp.asarray(q, jnp.bfloat16), pool,
+        jnp.asarray(k_win, jnp.bfloat16), jnp.asarray(v_win, jnp.bfloat16),
+        jnp.int32(nact), jnp.int32(wl), fmt, fmt, mc), np.float32)
+
+    # masked dense reference
+    kk = np.concatenate([k_pruned.reshape(B, Hkv, mc, C, D)[:, :, :nact]
+                         .reshape(B, Hkv, nact * C, D),
+                         k_win[:, :, :wl]], axis=2)
+    vv = np.concatenate([v_pruned.reshape(B, Hkv, mc, C, D)[:, :, :nact]
+                         .reshape(B, Hkv, nact * C, D),
+                         v_win[:, :, :wl]], axis=2)
+    bf = lambda x: np.asarray(jnp.asarray(x, jnp.bfloat16).astype(jnp.float32))
+    qg = bf(q)[:, 0].reshape(B, Hkv, G, D)
+    lg = np.einsum("bhgd,bhsd->bhgs", qg, bf(kk)) / np.sqrt(D)
+    wts = np.asarray(jax.nn.softmax(jnp.asarray(lg), -1))
+    want = np.einsum("bhgs,bhsd->bhgd", wts, bf(vv)).reshape(B, 1, Hq, D)
+    np.testing.assert_allclose(out, want, rtol=3e-2, atol=3e-2)
