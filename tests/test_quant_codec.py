@@ -284,3 +284,47 @@ def test_q_chunked_prefill_runs():
     prompt = np.random.RandomState(1).randint(0, 512, size=(1, 700))
     toks = Generator(eng, params, dtype=jnp.bfloat16).generate(prompt, 20)
     assert np.asarray(toks).shape == (1, 20)
+
+
+@pytest.mark.parametrize("bits,keep,use_score", [(8, 40, False), (4, 40, False),
+                                                 (8, 14, False), (8, 40, True),
+                                                 (8, 128, False)])
+def test_prune_quant_pack_kernel_matches_xla(bits, keep, use_score):
+    """The fused Pallas prune+quantize+pack == the XLA formulation: identical
+    scales and keep masks; codes equal except +-1 at exact half-step
+    boundaries (x/scale == n.5 computes 1 ulp apart depending on whether XLA
+    fuses the divide — sub-quantization-step, numerically immaterial)."""
+    from mustafar_tpu.ops.kernels.pack_kernel import prune_quant_pack
+    from mustafar_tpu.ops import sparse_format as sf
+
+    rs = np.random.RandomState(42)
+    BH, C, D = 4, 256, 128
+    x = jnp.asarray(rs.randn(BH, C, D) * 0.3, jnp.bfloat16)
+    # inject exact ties (equal magnitudes) to exercise the tie-break rank
+    x = x.at[:, :, 10].set(x[:, :, 90])
+    x = x.at[:, 5, :].set(0)
+    score = jnp.asarray(rs.rand(BH, C, D), jnp.float32) if use_score else None
+
+    codec = qf.QuantCodec(C, D, bits, bits)
+    sel = x if score is None else score
+    pruned = jnp.where(sf.topk_mask(sel, keep), x, 0).astype(jnp.bfloat16)
+    want_rows, want_scales = qf.encode_chunk(pruned, codec, "k")
+
+    got_rows, got_scales = prune_quant_pack(x, keep, bits, score=score)
+    np.testing.assert_array_equal(
+        np.asarray(got_scales, np.float32), np.asarray(want_scales, np.float32))
+    want_c = np.asarray(qf.unpack_rows(want_rows, bits))
+    got_c = np.asarray(qf.unpack_rows(got_rows, bits))
+    # identical keep masks (zero codes <=> pruned/zero)
+    np.testing.assert_array_equal(got_c == 0, want_c == 0)
+    diff = np.abs(got_c - want_c)
+    assert diff.max() <= 1, diff.max()
+    where = np.argwhere(diff == 1)
+    # every +-1 sits on an exact half-step boundary of the f32 ratio
+    # (recompute the PRE-bf16 f32 scale the encoders divide by)
+    xf = np.asarray(pruned, np.float32)
+    qmax = 2.0 ** (bits - 1) - 1
+    sc = np.maximum(np.abs(xf).max(axis=1) / qmax, 1e-8).astype(np.float32)
+    for bh, t, d in where:
+        ratio = np.float32(xf[bh, t, d]) / sc[bh, d]
+        assert abs(abs(ratio) % 1.0 - 0.5) < 1e-4, (bh, t, d, ratio)
