@@ -33,11 +33,84 @@ def make_wave(rng, n, vocab, buckets=(512, 1024, 2048), gens=(64, 128, 192)):
     return reqs
 
 
+def interleave_demo(cfg, params, wgib):
+    """Decode liveness under a 32k admission: 3 active streams keep decoding
+    while one 32k prompt streams in segment-per-tick (interleaved scheduler)
+    vs stalling for the whole prefill (blocking).  Token streams must be
+    identical; the serving-visible difference is the max inter-token stall
+    of the active streams."""
+    import dataclasses
+
+    from mustafar_tpu.config import CacheMode, EngineConfig, PruneConfig, PruneMethod
+    from mustafar_tpu.runtime.scheduler import ContinuousBatchingEngine
+
+    # 2 slots: one active stream + the 32k admission (4 slots x 33k cache +
+    # the blocking path's scan-double-buffered batch-1 sub-cache OOM a
+    # 16 GiB chip next to the weights)
+    eng = EngineConfig(
+        model=cfg, cache_mode=CacheMode.COMPRESSED,
+        prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                          k_sparsity=0.7, v_sparsity=0.7),
+        max_seq_len=33536, prefill_bucket=512, chunk_size=256,
+        codec="q8q4", chunked_prefill=True, batch_size=2)
+    rng = np.random.default_rng(1)
+    shorts = [rng.integers(1, cfg.vocab_size, size=500)]
+    long_p = rng.integers(1, cfg.vocab_size, size=32500)   # 128 segments
+
+    results = {}
+    for name, interleave in (("interleaved", True), ("blocking", False)):
+        cb = ContinuousBatchingEngine(eng, params, dtype=jnp.bfloat16,
+                                      interleave=interleave)
+        su = [cb.submit(t, 260) for t in shorts]
+        # admit + warm the short streams (compiles decode/prefill programs)
+        for _ in range(8):
+            cb._fill_slots()
+            cb._decode_step()
+        lu = cb.submit(long_p, 8)
+        stamps = []                       # (time, tokens emitted by shorts)
+        t0 = time.perf_counter()
+        while cb.queue or cb._admissions or any(
+                r is not None for r in cb.slot_req):
+            cb._fill_slots()
+            cb._decode_step()
+            stamps.append((time.perf_counter(),
+                           sum(len(cb.requests[u].out) for u in su)))
+        wall = time.perf_counter() - t0
+        outs = {u: list(cb.finished[u].out) for u in su + [lu]}
+        # max stall: largest wall gap between consecutive short-stream tokens
+        gaps, last_t = [], t0
+        prev = stamps[0][1] if stamps else 0
+        for t, n in stamps:
+            if n > prev:
+                gaps.append(t - last_t)
+                last_t, prev = t, n
+        results[name] = {"wall_s": round(wall, 2),
+                         "max_stall_s": round(max(gaps), 3) if gaps else None,
+                         "outs": outs}
+        print(f"[{name}] 32k admission: wall {wall:.2f}s, max inter-token "
+              f"stall of active streams {results[name]['max_stall_s']}s",
+              flush=True)
+    same = all(results["interleaved"]["outs"][u] == results["blocking"]["outs"][u]
+               for u in results["interleaved"]["outs"])
+    print(json.dumps({
+        "metric": "serving_interleaved_admission_32k",
+        "weights_gib": round(wgib, 2),
+        "token_exact_vs_blocking": bool(same),
+        "interleaved_max_stall_s": results["interleaved"]["max_stall_s"],
+        "blocking_max_stall_s": results["blocking"]["max_stall_s"],
+        "interleaved_wall_s": results["interleaved"]["wall_s"],
+        "blocking_wall_s": results["blocking"]["wall_s"],
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--slots", type=int, default=16)
     ap.add_argument("--requests", type=int, default=48)
     ap.add_argument("--w8", action="store_true", help="int8 weights instead")
+    ap.add_argument("--interleave_demo", action="store_true",
+                    help="decode-liveness-under-32k-admission demo instead "
+                         "of the throughput wave")
     args = ap.parse_args()
 
     from mustafar_tpu.config import (CacheMode, EngineConfig, LLAMA3_8B,
@@ -60,6 +133,9 @@ def main():
     wgib = weight_bytes(params) / 2**30
     print(f"params ready: {wgib:.2f} GiB ({time.perf_counter()-t0:.0f}s)",
           flush=True)
+
+    if args.interleave_demo:
+        return interleave_demo(cfg, params, wgib)
 
     rng = np.random.default_rng(0)
     cb = ContinuousBatchingEngine(eng, params, dtype=jnp.bfloat16)
