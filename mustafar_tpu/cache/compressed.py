@@ -216,22 +216,19 @@ class CompressedKVCache:
         scales [BH, D] bf16).  Prune first (top-k by |x|, or by ``score``
         for Opa policies), then quantize the survivors.
 
-        On TPU the whole transform runs as ONE fused Pallas pass
-        (ops/kernels/pack_kernel.py — the XLA formulation is ~17 sequential
-        HBM passes per chunk and was ~25% of prefill device time); the XLA
-        path remains as the CPU/test fallback, bit-exact with the kernel."""
+        A fused single-pass Pallas formulation exists
+        (ops/kernels/pack_kernel.py) and measured 0.92-0.95x of this XLA
+        chain on the chip (benchmarks/bench_pack.py): the cost is the
+        15-round threshold bisection's VPU compute, which XLA already fuses
+        — not HBM passes — so the XLA path stays production and the kernel
+        stands as the measured negative result."""
+        from mustafar_tpu.ops import quant_format as qf
         B, H, C, D = dense_bhtd.shape
         x = dense_bhtd.reshape(B * H, C, D)                     # free reshape
         x = x.astype(jnp.bfloat16)
         keep = self.k_keep if kind == "k" else self.v_keep
-        bits = self.qcodec.kbits if kind == "k" else self.qcodec.vbits
-        sel = None if score is None else score.reshape(B * H, C, D)
-        if self.use_pallas and D == 128:
-            from mustafar_tpu.ops.kernels.pack_kernel import prune_quant_pack
-            return prune_quant_pack(x, keep, bits, score=sel)
-        from mustafar_tpu.ops import quant_format as qf
-        pruned = jnp.where(sf.topk_mask(x if sel is None else sel, keep),
-                           x, 0).astype(jnp.bfloat16)
+        sel = x if score is None else score.reshape(B * H, C, D)
+        pruned = jnp.where(sf.topk_mask(sel, keep), x, 0).astype(jnp.bfloat16)
         return qf.encode_chunk(pruned, self.qcodec, kind)
 
     def _pack_rows_scales(self, k_chunk, v_chunk, k_score=None, v_score=None):
