@@ -27,14 +27,25 @@ def main(engine_kind="sparse", layers=16, gen=64, weights="bf16"):
     from mustafar_tpu.models.llama import init_params
     from mustafar_tpu.runtime import generate as G
 
-    cfg = dataclasses.replace(LLAMA3_8B, num_layers=layers, vocab_size=32000)
+    # full geometry (32L) keeps the 128k vocab (the real lm_head cost);
+    # reduced-depth runs shrink it so bf16 weights fit
+    cfg = dataclasses.replace(LLAMA3_8B, num_layers=layers,
+                              vocab_size=128256 if layers >= 32 else 32000)
     B, prompt_len = 32, 300
     max_seq = 1312
-    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    if weights != "bf16":
+    if weights != "bf16" and layers >= 32:
+        # 16 GiB of bf16 never fits next to the cache: init quantized directly
         from mustafar_tpu.models import quant
-        params = (quant.quantize_params(params, donate=True) if weights == "w8"
-                  else quant.quantize_params_w4(params, donate=True))
+        init_q = (quant.init_params_w8 if weights == "w8"
+                  else quant.init_params_w4)
+        params = init_q(cfg, jax.random.PRNGKey(0))
+    else:
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        if weights != "bf16":
+            from mustafar_tpu.models import quant
+            params = (quant.quantize_params(params, donate=True)
+                      if weights == "w8"
+                      else quant.quantize_params_w4(params, donate=True))
     params = jax.block_until_ready(params)
     prompt = np.random.RandomState(0).randint(1, cfg.vocab_size,
                                               (B, prompt_len))
@@ -59,16 +70,22 @@ def main(engine_kind="sparse", layers=16, gen=64, weights="bf16"):
         return llama.prefill(cfg, params, toks, cache, cache_impl, tl,
                              last_only=True)
 
-    # same program shape as the production monolithic path (_generate_impl):
-    # the decode while_loop carries the cache, no donation
-    dec_fn = jax.jit(functools.partial(
-        G._decode_impl, cfg, cache_impl, gen, (), 0, G.GREEDY))
+    # the decode while_loop with the cache donated (at full-8B a non-donated
+    # carry keeps 2-3 cache copies alive next to the weights -> OOM); the
+    # trace is re-prefilled per run so each dec_fn gets a fresh donatable
+    def dec_fn_raw(params, cache, logits, tl):
+        out, cache = G._decode_impl(cfg, cache_impl, gen, (), 0, G.GREEDY,
+                                    params, cache, logits, tl)
+        return out, cache
+    dec_fn = jax.jit(dec_fn_raw, donate_argnums=(1,))
 
     logits, cache = jax.block_until_ready(prefill_fn(params, toks, tl))
-    out = jax.block_until_ready(dec_fn(params, cache, logits, tl))  # compile
+    out, _ = jax.block_until_ready(dec_fn(params, cache, logits, tl))  # compile
+    logits, cache = jax.block_until_ready(prefill_fn(params, toks, tl))
     t0 = time.perf_counter()
-    out = jax.block_until_ready(dec_fn(params, cache, logits, tl))
+    out, _ = jax.block_until_ready(dec_fn(params, cache, logits, tl))
     dt = time.perf_counter() - t0
+    logits, cache = jax.block_until_ready(prefill_fn(params, toks, tl))
     print(f"decode warm wall: {dt:.3f} s for {gen} steps "
           f"({B * gen / dt:.1f} tok/s, {dt / gen * 1e3:.2f} ms/step)")
     with jax.profiler.trace("/tmp/e2e_trace"):
