@@ -43,9 +43,12 @@ def _add_engine_args(p: argparse.ArgumentParser):
                         "(capacity-optimal) or quantized-dense "
                         "(latency-optimal; q8q4 matches bitmap compression, "
                         "q4q4 = 4x bytes for high sparsity)")
-    p.add_argument("--weights", default="bf16", choices=["bf16", "int8"],
-                   help="weight-only quantization (int8: half the weight "
-                        "streaming/residency; models/quant.py)")
+    p.add_argument("--weights", default="bf16",
+                   choices=["bf16", "int8", "int4"],
+                   help="weight-only quantization (models/quant.py).  int8/"
+                        "int4 load + quantize ON HOST and transfer only the "
+                        "quantized pytree — the path that fits a full "
+                        "Llama-3-8B checkpoint onto one 16 GiB chip")
 
 
 def _build_engine(args, model_cfg):
@@ -79,10 +82,21 @@ def cmd_predict(args):
     from mustafar_tpu.models.weights import load_hf_dir
     from mustafar_tpu.runtime.generate import Generator
 
-    cfg, params = load_hf_dir(args.model, dtype=jnp.bfloat16)
-    if getattr(args, "weights", "bf16") == "int8":
-        from mustafar_tpu.models.quant import quantize_params
-        params = quantize_params(params)
+    weights = getattr(args, "weights", "bf16")
+    if weights in ("int8", "int4"):
+        # stage bf16 on HOST, quantize there, ship only the quantized pytree
+        # (a full 8B in bf16 does not fit the device next to its cache)
+        import jax
+        from mustafar_tpu.models.quant import (quantize_params,
+                                               quantize_params_w4)
+        cfg, params = load_hf_dir(args.model, dtype=jnp.bfloat16, on_host=True)
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = jax.block_until_ready(
+                quantize_params(params, donate=True) if weights == "int8"
+                else quantize_params_w4(params, donate=True))
+        params = jax.device_put(params, jax.devices()[0])
+    else:
+        cfg, params = load_hf_dir(args.model, dtype=jnp.bfloat16)
     tokenizer = AutoTokenizer.from_pretrained(args.model)
     eng = _build_engine(args, cfg)
     gen = Generator(eng, params)

@@ -83,8 +83,20 @@ def params_from_state_dict(cfg: ModelConfig, sd: dict, dtype=jnp.bfloat16) -> di
     return params
 
 
-def load_hf_dir(path: str, dtype=jnp.bfloat16) -> tuple[ModelConfig, dict]:
-    """Load a local HF checkpoint directory (safetensors preferred)."""
+def load_hf_dir(path: str, dtype=jnp.bfloat16,
+                on_host: bool = False) -> tuple[ModelConfig, dict]:
+    """Load a local HF checkpoint directory (safetensors preferred).
+
+    ``on_host``: build the param pytree on the host CPU device instead of
+    the default accelerator.  This is how a full-size checkpoint reaches a
+    chip it doesn't fit in raw form: stage on host, quantize there
+    (models/quant.py), then ``jax.device_put`` the quantized pytree — a
+    16 GiB bf16 Llama-3-8B never touches the 16 GiB device
+    (see cli.cmd_predict --weights int8/int4).
+    """
+    import contextlib
+    import jax
+
     with open(os.path.join(path, "config.json")) as f:
         cfg = config_from_hf(json.load(f))
     sd = {}
@@ -101,7 +113,10 @@ def load_hf_dir(path: str, dtype=jnp.bfloat16) -> tuple[ModelConfig, dict]:
         for f in bins:
             sd.update(torch.load(os.path.join(path, f), map_location="cpu",
                                  weights_only=True))
-    return cfg, params_from_state_dict(cfg, sd, dtype)
+    ctx = (jax.default_device(jax.devices("cpu")[0]) if on_host
+           else contextlib.nullcontext())
+    with ctx:
+        return cfg, params_from_state_dict(cfg, sd, dtype)
 
 
 def load_hf_model(hf_model, dtype=jnp.float32) -> tuple[ModelConfig, dict]:
