@@ -25,3 +25,14 @@ jax.config.update("jax_default_matmul_precision", "highest")
 @pytest.fixture(scope="session")
 def devices():
     return jax.devices()
+
+
+def pytest_collection_modifyitems(items):
+    """Schedule the compile-heaviest files first: under 4-worker xdist the
+    wall time is set by whichever worker drags the tail, and alphabetical
+    order puts the 20-30 s sharding/Opa tests last (measured: ~40 s of tail
+    saved at the ~5 min suite budget)."""
+    heavy = ("test_sharding", "test_compressed_opa", "test_dense_decode",
+             "test_scheduler", "test_distributed")
+    items.sort(key=lambda it: next(
+        (i for i, s in enumerate(heavy) if s in it.nodeid), len(heavy)))
