@@ -93,6 +93,17 @@ def run_depth(mc, nact, iters):
     q44_fn = jax.jit(lambda q, pool, nc, wl: qa.fused_q_decode_attention(
         q, pool, ksc, vsc, k_win, v_win, nc, wl, codec44, mc))
 
+    # bitmap-q8 capacity codec: int8 NZ payload + per-channel scales
+    fmt8 = sf.ChunkFormat(C, D, 40, qbits=8)
+    bq8_pool = jnp.asarray(
+        rs.randint(-2000, 2000, (mc, BH, 2 * fmt8.stream_rows, 128)), jnp.int16)
+    bq8_ksc = jnp.asarray(rs.rand(mc, BH, D) * 0.02 + 0.01, jnp.bfloat16)
+    bq8_vsc = jnp.asarray(rs.rand(mc, BH, D) * 0.02 + 0.01, jnp.bfloat16)
+    bq8_fn = jax.jit(lambda q, pool, nc, wl:
+                     ska.fused_sparse_decode_attention_v7(
+                         q, pool, k_win, v_win, nc, wl, fmt8, fmt8, mc,
+                         hpb=16, kscales=bq8_ksc, vscales=bq8_vsc))
+
     kd = jnp.asarray(rs.randn(B, Hkv, S, D) * 0.1, jnp.bfloat16)
     vd = jnp.array(kd)
 
@@ -108,6 +119,7 @@ def run_depth(mc, nact, iters):
     t_bm = device_time(bm_fn, (q, bm_pool, nc, wl), iters, f"bm{mc}")
     t_qq = device_time(qq_fn, (q, q_pool, nc, wl), iters, f"qq{mc}")
     t_44 = device_time(q44_fn, (q, q44_pool, nc, wl), iters, f"q44_{mc}")
+    t_b8 = device_time(bq8_fn, (q, bq8_pool, nc, wl), iters, f"bq8_{mc}")
     t_d = device_time(dense_fn, (q, kd, vd), iters, f"d{mc}")
 
     bm_bytes = (BH * nact * 2 * fmt.stream_rows * 128 * 2
@@ -117,9 +129,14 @@ def run_depth(mc, nact, iters):
     q44_bytes = (BH * nact * codec44.stream_rows * 128 * 2
                  + 2 * B * WIN_LEN * Hkv * D * 2)
     d_bytes = 2 * B * Hkv * S * D * 2
+    bq8_bytes = (BH * nact * 2 * fmt8.stream_rows * 128 * 2
+                 + 2 * B * WIN_LEN * Hkv * D * 2)
     row = {
         "ctx": S, "chunks": nact,
         "bitmap_us": round(t_bm * 1e6, 1),
+        "bitmap_q8_us": round(t_b8 * 1e6, 1),
+        "bitmap_q8_bytes_ratio": round(
+            (2 * B * Hkv * S * D * 2) / bq8_bytes, 2),
         "q8q4_us": round(t_qq * 1e6, 1),
         "q4q4_us": round(t_44 * 1e6, 1),
         "dense_us": round(t_d * 1e6, 1),

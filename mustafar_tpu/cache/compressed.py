@@ -86,12 +86,19 @@ class CompressedKVCache:
         self.max_chunks = max(1, (engine.max_seq_len - self.r) // C)
         self.k_keep = p.kept_per_row(m.head_dim, p.k_sparsity)
         self.v_keep = p.kept_per_row(m.head_dim, p.v_sparsity)
-        # chunk storage codec: bitmap-packed sparse streams (capacity-optimal)
-        # or quantized-dense (latency-optimal) — see ops/quant_format.py
-        if engine.codec == "bitmap":
+        # chunk storage codec: bitmap-packed sparse streams (capacity-optimal;
+        # "bitmap-q8" = int8 NZ payload + per-channel scales, ~1.7x the bf16
+        # stream's capacity) or quantized-dense (latency-optimal) — see
+        # ops/quant_format.py and ops/sparse_format.py
+        self.bitmap_q8 = engine.codec == "bitmap-q8"
+        if engine.codec in ("bitmap", "bitmap-q8"):
             self.qcodec = None
-            self.kfmt = sf.ChunkFormat(C, m.head_dim, self.k_keep)
-            self.vfmt = sf.ChunkFormat(C, m.head_dim, self.v_keep)
+            qb = 8 if self.bitmap_q8 else 16
+            self.kfmt = sf.ChunkFormat(C, m.head_dim, self.k_keep, qbits=qb)
+            self.vfmt = sf.ChunkFormat(C, m.head_dim, self.v_keep, qbits=qb)
+            assert not (self.bitmap_q8 and engine.chunked_prefill), (
+                "bitmap-q8 is wired for the uniform decode path (v7); "
+                "chunked prefill needs the segment kernel — use q8q4/q4q4")
         else:
             from mustafar_tpu.ops import quant_format as qf
             kbits, vbits = {"q8": (8, 8), "q8q4": (8, 4),
@@ -114,7 +121,7 @@ class CompressedKVCache:
         # and applied post-scan by finalize_segment, keeping a second full
         # pool from materializing — 5.58 GiB at 32k ctx, OOM vs serving);
         # rw keys (the windows) are carried whole and updated in place.
-        pools = (("kv_pool",) if self.qcodec is None
+        pools = (("kv_pool",) if self.qcodec is None and not self.bitmap_q8
                  else ("kv_pool", "kv_scales"))
         self.decode_stacked_ro = pools
         self.decode_stacked_rw = ("k_win", "v_win") + self.score_keys
@@ -136,7 +143,7 @@ class CompressedKVCache:
             "kv_pool": jnp.zeros((m.num_layers, mc, batch, m.num_kv_heads,
                                   rows, 128), jnp.int16),
         }
-        if self.qcodec is not None:
+        if self.qcodec is not None or self.bitmap_q8:
             # per (chunk, head, channel) quantization scales, K then V
             state["kv_scales"] = jnp.zeros(
                 (m.num_layers, mc, batch, m.num_kv_heads, 2, m.head_dim),
@@ -211,6 +218,17 @@ class CompressedKVCache:
             score = score.reshape(B * H, C, D)
         return sf.prune_and_encode_stream(x.astype(jnp.bfloat16), fmt, score)
 
+    def _pack_chunk_b8(self, dense_bhtd: jnp.ndarray, fmt: sf.ChunkFormat,
+                       score=None):
+        """bitmap-q8: prune + int8-quantize + pack (ops/sparse_format.py).
+        Returns (rows [BH, stream_rows, 128] int16, scales [BH, D] bf16)."""
+        B, H, C, D = dense_bhtd.shape
+        x = dense_bhtd.reshape(B * H, C, D).astype(jnp.bfloat16)
+        if score is not None:
+            score = score.reshape(B * H, C, D)
+        rows, scales = sf.prune_and_encode_stream_q8(x, fmt, score)
+        return rows, scales.astype(jnp.bfloat16)
+
     def _pack_chunk_q(self, dense_bhtd: jnp.ndarray, kind: str, score=None):
         """Quant codec: dense [B, Hkv, C, D] -> (rows [BH, R, 128] int16,
         scales [BH, D] bf16).  Prune first (top-k by |x|, or by ``score``
@@ -237,7 +255,12 @@ class CompressedKVCache:
         scores replacing the magnitude keep rule.  Returns
         (rows6 [B, Hkv, ROWS, 128], scales6 [B, Hkv, 2, D] | None)."""
         B, Hkv = k_chunk.shape[:2]
-        if self.qcodec is None:
+        if self.bitmap_q8:
+            k_rows, k_sc = self._pack_chunk_b8(k_chunk, self.kfmt, k_score)
+            v_rows, v_sc = self._pack_chunk_b8(v_chunk, self.vfmt, v_score)
+            scales6 = jnp.stack([k_sc, v_sc], axis=1).reshape(
+                B, Hkv, 2, k_sc.shape[-1])
+        elif self.qcodec is None:
             k_rows = self._pack_chunk(k_chunk, self.kfmt, k_score)
             v_rows = self._pack_chunk(v_chunk, self.vfmt, v_score)
             scales6 = None
@@ -261,6 +284,17 @@ class CompressedKVCache:
                 lc["kv_scales"], scales6[None], (chunk_idx, 0, 0, 0, 0))
         return lc
 
+    def _decode_pool_b8(self, rows, scales_bh, fmt, batch):
+        """bitmap-q8 variant of _decode_pool (int8 codes + per-channel
+        scales [mc, BH, D])."""
+        mc = rows.shape[0]
+        BH = rows.shape[1] * rows.shape[2]
+        dense = sf.decode_stream_q8(rows.reshape(mc, BH, *rows.shape[3:]),
+                                    scales_bh.astype(jnp.float32), fmt)
+        H = self.model.num_kv_heads
+        dense = jnp.swapaxes(dense, 0, 1).reshape(BH, mc * fmt.chunk, fmt.dim)
+        return dense.reshape(batch, H, mc * fmt.chunk, fmt.dim)
+
     def _decode_pool(self, rows, fmt, batch):
         """Decompress stream rows [mc, B, Hkv, SR, 128] to dense
         [B, Hkv, max_chunks*C, D] (XLA fallback path)."""
@@ -278,8 +312,17 @@ class CompressedKVCache:
         mc, C, D = self.max_chunks, self.C, self.model.head_dim
         if self.qcodec is None:
             KR = self.kfmt.stream_rows
-            k = self._decode_pool(lc["kv_pool"][..., :KR, :], self.kfmt, batch)
-            v = self._decode_pool(lc["kv_pool"][..., KR:, :], self.vfmt, batch)
+            if self.bitmap_q8:
+                ks, vs = self._scales_bh(lc["kv_scales"])      # [mc, BH, D]
+                k = self._decode_pool_b8(lc["kv_pool"][..., :KR, :], ks,
+                                         self.kfmt, batch)
+                v = self._decode_pool_b8(lc["kv_pool"][..., KR:, :], vs,
+                                         self.vfmt, batch)
+            else:
+                k = self._decode_pool(lc["kv_pool"][..., :KR, :], self.kfmt,
+                                      batch)
+                v = self._decode_pool(lc["kv_pool"][..., KR:, :], self.vfmt,
+                                      batch)
             return k, v
         from mustafar_tpu.ops import quant_format as qf
         cdc = self.qcodec
@@ -732,11 +775,19 @@ class CompressedKVCache:
                                                   keepdims=False)
                 vw = jax.lax.dynamic_index_in_dim(upd["v_win"], li, 0,
                                                   keepdims=False)
+                sc_kw = {}
+                if self.bitmap_q8:
+                    assert self.mesh is None, (
+                        "bitmap-q8 under a mesh is not wired yet")
+                    s6 = jax.lax.dynamic_index_in_dim(full["kv_scales"], li,
+                                                      0, keepdims=False)
+                    ks_, vs_ = self._scales_bh(s6)
+                    sc_kw = dict(kscales=ks_, vscales=vs_)
                 call = lambda q_, pool6_, kw_, vw_, nc_, wl_: \
                     ska.fused_sparse_decode_attention_v7(
                         q_, self._pool_bh(pool6_), kw_, vw_, nc_, wl_,
                         self.kfmt, self.vfmt, self.max_chunks, hpb=16,
-                        window=self.window, return_norm=self.v_opa)
+                        window=self.window, return_norm=self.v_opa, **sc_kw)
                 if self.mesh is not None:
                     from mustafar_tpu.parallel import sharding as sh
                     call = sh.shard_headlocal_attend(

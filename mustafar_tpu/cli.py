@@ -38,7 +38,7 @@ def _add_engine_args(p: argparse.ArgumentParser):
                         "compressed cache (O(chunk) activation memory; "
                         "prefill attends to the pruned past)")
     p.add_argument("--codec", default="bitmap",
-                   choices=["bitmap", "q8", "q8q4", "q4q4"],
+                   choices=["bitmap", "bitmap-q8", "q8", "q8q4", "q4q4"],
                    help="compressed-chunk codec: bitmap-packed sparse "
                         "(capacity-optimal) or quantized-dense "
                         "(latency-optimal; q8q4 matches bitmap compression, "

@@ -193,7 +193,9 @@ class EngineConfig:
     # Chunk storage codec (COMPRESSED mode):
     #   "bitmap" — bitmap-packed sparse streams (ops/sparse_format.py), the
     #     TPU redesign of the reference's 64-tile format; maximum capacity
-    #     (2.67x at keep=40, 3.2x at exact_keep=32).
+    #     (2.67x at keep=40, 3.2x at exact_keep=32); "bitmap-q8" stores
+    #     the NZ payload as int8 codes + per-channel scales (4.5x at keep=40,
+    #     7.8x at 0.9 sparsity — the capacity king; uniform decode only).
     #   "q8" / "q8q4" / "q4q4" — pruned chunks stored dense-zeroed and
     #     quantized (int8/int4 K + int8/int4 V, ops/quant_format.py);
     #     expansion is pure widen arithmetic, so decode runs at the
@@ -208,7 +210,7 @@ class EngineConfig:
     tp_axis: str = "model"
 
     def __post_init__(self):
-        assert self.codec in ("bitmap", "q8", "q8q4", "q4q4"), self.codec
+        assert self.codec in ("bitmap", "bitmap-q8", "q8", "q8q4", "q4q4"), self.codec
         if self.cache_mode == CacheMode.COMPRESSED:
             if self.codec != "bitmap":
                 assert self.chunk_size % 4 == 0, self.chunk_size

@@ -96,9 +96,16 @@ def _expand_stream_rows_batched(buf_slot, fmt: ChunkFormat, hpb: int, row_off: i
         word_tiles.extend([words] * 16)
         off = row_off
         for k in fmt.segs:
-            R = fmt.seg_rows(k)
+            R = fmt.seg_rows(k)                                 # physical rows
             seg = buf_slot[h, off:off + R]
-            val_parts[k].extend([seg] * (C // R))
+            if fmt.qbits == 8:
+                # physical row r carries logical rows r (low byte) and
+                # r + R (high byte): sign-extending shifts + sublane concat
+                # BEFORE tile-repeat, so the gather geometry is unchanged
+                w = seg.astype(jnp.int32)
+                seg = jnp.concatenate([(w << 24) >> 24, (w << 16) >> 24],
+                                      axis=0)                   # [2R, 128] i32
+            val_parts[k].extend([seg] * (C // fmt.seg_logical_rows(k)))
             off += R
     tiled = jnp.concatenate(word_tiles, axis=0).astype(jnp.int32)     # [hpb*C, D]
     HC = hpb * C
@@ -113,9 +120,12 @@ def _expand_stream_rows_batched(buf_slot, fmt: ChunkFormat, hpb: int, row_off: i
     gs, bounds = [], []
     base = 1
     for k in fmt.segs:
-        R = fmt.seg_rows(k)
-        tblb = jnp.concatenate(val_parts[k], axis=0)                  # [hpb*C,128] i16
-        tbl = pltpu.bitcast(tblb, jnp.bfloat16).astype(jnp.float32)
+        R = fmt.seg_logical_rows(k)
+        tblb = jnp.concatenate(val_parts[k], axis=0)
+        if fmt.qbits == 8:
+            tbl = tblb.astype(jnp.float32)                      # int8 codes
+        else:
+            tbl = pltpu.bitcast(tblb, jnp.bfloat16).astype(jnp.float32)
         toff = trow // R
         idx = rank_i + (toff * k - base)
         gs.append(jnp.take_along_axis(tbl, idx, axis=-1))
@@ -249,6 +259,8 @@ def fused_sparse_decode_attention_v6ps(q, kv_pool, k_win, v_win, n_chunks,
     ``return_win_probs``: also return the post-softmax window-column weights
     folded over the query group, [B, Hkv, Wcap] fp32 (Opa scoring)."""
     B, _, Hq, D = q.shape
+    assert kfmt.qbits == 16 and vfmt.qbits == 16, (
+        "bitmap-q8 streams are supported by the uniform v7 decode path only")
     Hkv = k_win.shape[1]
     W = k_win.shape[2]
     G = Hq // Hkv
@@ -429,6 +441,8 @@ def fused_sparse_segment_attention(q_seg, kv_pool, n_chunks, seg_start,
     against the compressed past instead of a dense one.
     """
     B, Tseg, Hq, D = q_seg.shape
+    assert kfmt.qbits == 16 and vfmt.qbits == 16, (
+        "bitmap-q8 streams are supported by the uniform v7 decode path only")
     Hkv = kv_pool.shape[1] // B
     G = Hq // Hkv
     BH = B * Hkv
@@ -490,11 +504,20 @@ def fused_sparse_segment_attention(q_seg, kv_pool, n_chunks, seg_start,
 # bytes, which are ~half the decode attention traffic).
 # ---------------------------------------------------------------------------
 
-def _fused_v7_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, q_ref, out_ref,
-                     m_out, l_out, buf, wbuf, sems, wsems, m_ref, l_ref,
-                     acc_ref, *, kfmt: ChunkFormat, vfmt: ChunkFormat,
+def _fused_v7_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, q_ref, *refs,
+                     kfmt: ChunkFormat, vfmt: ChunkFormat,
                      hpb: int, wt: int, scale: float,
                      window: int | None = None):
+    # bitmap-q8 capacity codec: per-(chunk, head, channel) scales fold into
+    # q before the score matmul and into the pv partial after it (the
+    # expanded tiles stay int8 CODES; dequant never materializes)
+    quant = kfmt.qbits == 8
+    if quant:
+        (ks_ref, vs_ref, out_ref, m_out, l_out, buf, wbuf, sems, wsems,
+         m_ref, l_ref, acc_ref) = refs
+    else:
+        (out_ref, m_out, l_out, buf, wbuf, sems, wsems,
+         m_ref, l_ref, acc_ref) = refs
     nc = scalars_ref[0]
     win_len = scalars_ref[1]
     b = pl.program_id(0)
@@ -505,6 +528,11 @@ def _fused_v7_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, q_ref, out_ref,
     HG = hpb * G8
     HC = hpb * C
     HW = hpb * wt
+
+    def bcast_heads(srow):
+        """[hpb, D] scale rows -> [HG, D] (each head row repeated G8x)."""
+        return jnp.broadcast_to(srow.reshape(hpb, 1, D).astype(jnp.float32),
+                                (hpb, G8, D)).reshape(HG, D)
 
     def copy(slot, ci):
         return pltpu.make_async_copy(
@@ -539,7 +567,7 @@ def _fused_v7_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, q_ref, out_ref,
     blk = hrow_q == hrow_k
     tcol = jax.lax.broadcasted_iota(jnp.int32, (HG, HC), 1) % C
 
-    def online(s, vmat):
+    def online(s, vmat, vs_hg=None):
         m_old = m_ref[:].reshape(HG, 128)
         m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new[:, :1])
@@ -549,6 +577,8 @@ def _fused_v7_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, q_ref, out_ref,
         pv = jax.lax.dot_general(p.astype(jnp.bfloat16), vmat,
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if vs_hg is not None:
+            pv = pv * vs_hg
         acc_ref[:] = (acc_ref[:].reshape(HG, D) * corr[:, :D] + pv).reshape(acc_ref.shape)
         m_ref[:] = m_new.reshape(m_ref.shape)
 
@@ -567,14 +597,19 @@ def _fused_v7_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, q_ref, out_ref,
         copy(slot, ci).wait()
         kd = _expand_stream_rows_batched(buf[slot], kfmt, hpb, 0)
         vd = _expand_stream_rows_batched(buf[slot], vfmt, hpb, KR)
-        s = jax.lax.dot_general(q_all, kd, (((1,), (1,)), ((), ())),
+        if quant:
+            qk = (q_all.astype(jnp.float32)
+                  * bcast_heads(ks_ref[ci])).astype(jnp.bfloat16)
+        else:
+            qk = q_all
+        s = jax.lax.dot_general(qk, kd, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         mask = blk
         if window is not None:
             low = nc * C + win_len - 1 - window
             mask = mask & ((ci * C + tcol) > low)
         s = jnp.where(mask, s, -1e30)
-        online(s, vd)
+        online(s, vd, bcast_heads(vs_ref[ci]) if quant else None)
         return 0
 
     jax.lax.fori_loop(0, nc, chunk_body, 0)
@@ -617,14 +652,20 @@ def fused_sparse_decode_attention_v7(q, kv_pool, k_win, v_win, n_chunks,
                                      win_len, kfmt: ChunkFormat,
                                      vfmt: ChunkFormat, max_chunks: int,
                                      hpb: int = 16, window: int | None = None,
-                                     wt: int = 96, return_norm: bool = False):
+                                     wt: int = 96, return_norm: bool = False,
+                                     kscales=None, vscales=None):
     """v7: fully in-kernel decode attention with dynamic window length.
     Same contract as v6 except k_win/v_win are [B, Hkv, Wcap, D] (head-major
     window layout — a free reshape of the cache state, no transpose).
 
     ``return_norm``: also return the final online-softmax stats (m, l), each
-    [B, Hkv, G, 1] fp32 (post-softmax weight at score s is exp(s - m) / l)."""
+    [B, Hkv, G, 1] fp32 (post-softmax weight at score s is exp(s - m) / l).
+
+    bitmap-q8 capacity codec (kfmt.qbits == 8): pass per-(chunk, head,
+    channel) quantization scales kscales/vscales [max_chunks, BH, D] bf16;
+    the kernel folds them into q and the pv partial."""
     B, _, Hq, D = q.shape
+    assert (kfmt.qbits == 8) == (kscales is not None) == (vscales is not None)
     Hkv = k_win.shape[1]
     W = k_win.shape[2]
     G = Hq // Hkv
@@ -647,13 +688,20 @@ def fused_sparse_decode_attention_v7(q, kv_pool, k_win, v_win, n_chunks,
     scalars = jnp.stack([n_chunks.astype(jnp.int32), win_len.astype(jnp.int32)])
     fixed = lambda shape: pl.BlockSpec(shape, lambda b, sref: (b, 0, 0),
                                        memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                fixed((hpb, G8, D))]
+    args = [kv_pool, kw, vw, qb]
+    if kscales is not None:
+        sspec = pl.BlockSpec((max_chunks, hpb, D), lambda b, sref: (0, b, 0),
+                             memory_space=pltpu.VMEM)
+        in_specs += [sspec, sspec]
+        args += [kscales.astype(jnp.bfloat16), vscales.astype(jnp.bfloat16)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NB,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
-                  fixed((hpb, G8, D))],
+        in_specs=in_specs,
         out_specs=(pl.BlockSpec((hpb, G8, D), lambda b, sref: (b, 0, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((hpb, G8, 1), lambda b, sref: (b, 0, 0),
@@ -678,7 +726,7 @@ def fused_sparse_decode_attention_v7(q, kv_pool, k_win, v_win, n_chunks,
                    jax.ShapeDtypeStruct((BH, G8, 1), jnp.float32),
                    jax.ShapeDtypeStruct((BH, G8, 1), jnp.float32)),
         interpret=_interpret(),
-    )(scalars, kv_pool, kw, vw, qb)
+    )(scalars, *args)
     out = out[:, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
     if not return_norm:
         return out

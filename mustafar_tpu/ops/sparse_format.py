@@ -66,25 +66,45 @@ def decompose_keep(keep: int, sum_multiple: int = 1) -> tuple[int, ...]:
 
 @dataclasses.dataclass(frozen=True)
 class ChunkFormat:
-    """Token-sparse chunk format parameters."""
+    """Token-sparse chunk format parameters.
+
+    ``qbits``: bits per stored value.  16 = bf16 bit-carried in int16 (exact,
+    the default).  8 = int8 codes with per-channel scales (the "bitmap-q8"
+    capacity codec): each physical int16 row packs TWO logical value rows —
+    row r holds logical rows r (low byte) and r + R/2 (high byte), so the
+    in-kernel unpack is two sign-extending shifts + a sublane concat (the
+    same ops the expansion already uses; no row interleave).  Value bytes
+    halve; the bitmap is unchanged.  Scales ride separately
+    (encode_stream_q8)."""
 
     chunk: int          # C — tokens per chunk (reference compacts per 256)
     dim: int            # D — head_dim (lane dimension; 128 for all ref models)
     keep: int           # requested survivors per token row
+    qbits: int = 16
 
     def __post_init__(self):
         assert self.chunk % 32 == 0
+        assert self.qbits in (16, 8)
         for k in self.segs:
             assert (self.chunk * k) % 128 == 0, (self.chunk, k)
+            if self.qbits == 8:
+                # byte pairing splits each logical seg [R,128] into halves
+                assert (self.chunk * k // 128) % 2 == 0, \
+                    f"qbits=8 needs even seg rows (chunk {self.chunk}, k {k})"
 
     @property
     def segs(self) -> tuple[int, ...]:
-        # stream_rows = (chunk/128)*sum(segs) + chunk/16 must be 8-aligned
-        # (TPU VMEM sublane tiling); chunk%128==0 makes the bitmap part 8-
-        # aligned already, so constrain sum(segs) to 8/gcd(chunk/128, 8).
+        # stream_rows = value rows + chunk/16 must be 8-aligned (TPU VMEM
+        # sublane tiling); chunk%128==0 makes the bitmap part 8-aligned
+        # already, so constrain sum(segs) so the value rows land on 8.
         import math
         rpt = self.chunk // 128
-        return decompose_keep(self.keep, 8 // math.gcd(rpt, 8))
+        if self.qbits == 8:
+            # physical value rows = sum(segs) * rpt / 2 -> need %8
+            mult = 16 // math.gcd(rpt, 16)
+        else:
+            mult = 8 // math.gcd(rpt, 8)
+        return decompose_keep(self.keep, mult)
 
     @property
     def keep_stored(self) -> int:
@@ -95,6 +115,11 @@ class ChunkFormat:
         return self.chunk // 32
 
     def seg_rows(self, k: int) -> int:
+        """Physical int16 rows for a width-k segment."""
+        r = self.chunk * k // 128
+        return r // 2 if self.qbits == 8 else r
+
+    def seg_logical_rows(self, k: int) -> int:
         return self.chunk * k // 128
 
     @property
@@ -358,3 +383,90 @@ def prune_and_encode_stream(dense: jnp.ndarray, fmt: ChunkFormat,
     an output-aware ranking (Opa policies, cache/compressed.py)."""
     mask = topk_mask(dense if score is None else score, fmt.keep)
     return encode_stream(jnp.where(mask, dense, 0).astype(dense.dtype), fmt)
+
+
+# ---------------------------------------------------------------------------
+# bitmap-q8: int8-quantized NZ payload (the capacity codec).
+#
+# Same bitmap + interleaved-segment geometry as the bf16 stream, but values
+# are symmetric per-channel int8 codes (quantized BEFORE packing, so the
+# code of (t, d) is round(x[t,d] / scale[d]) exactly like the quant-dense
+# codec) packed two logical rows per physical int16 row: physical row r of a
+# width-k segment holds logical rows r (low byte) and r + R/2 (high byte).
+# Value bytes halve vs bf16 (e.g. keep=40 at C=256: 56 rows/chunk vs 96 ->
+# 4.44x vs dense before scales); dequantization folds into the attention
+# matmuls (q * kscale, pv * vscale), never into the expanded tile.
+# ---------------------------------------------------------------------------
+
+def _pack_bytes_rows(codes_rows: jnp.ndarray) -> jnp.ndarray:
+    """Logical int32 code rows [..., R, 128] -> physical int16 [..., R/2, 128]
+    (low byte = row r, high byte = row r + R/2)."""
+    *lead, R, L = codes_rows.shape
+    low = codes_rows[..., : R // 2, :] & 0xFF
+    high = codes_rows[..., R // 2:, :] & 0xFF
+    v = low | (high << 8)
+    return ((v << 16) >> 16).astype(jnp.int16)
+
+
+def _unpack_bytes_rows(phys: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of _pack_bytes_rows -> int32 [..., R, 128] (sign-extended)."""
+    w = phys.astype(jnp.int32)
+    low = (w << 24) >> 24
+    high = (w << 16) >> 24
+    return jnp.concatenate([low, high], axis=-2)
+
+
+def encode_stream_q8(dense: jnp.ndarray, fmt: ChunkFormat):
+    """Pack a pruned dense chunk [..., C, D] into int8-payload fused rows.
+
+    Returns (rows [..., fmt.stream_rows, 128] int16, scales [..., D] f32 ->
+    caller stores bf16).  Requires fmt.qbits == 8."""
+    assert fmt.qbits == 8, fmt
+    C, D = fmt.chunk, fmt.dim
+    keep = fmt.keep_stored
+    xf = dense.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-2)                         # [..., D]
+    scales = jnp.maximum(amax / 127.0, 1e-8)
+    codes = jnp.clip(jnp.round(xf / scales[..., None, :]), -127, 127
+                     ).astype(jnp.int32)
+    mask = _stored_slots(dense, keep)
+    vals, bits = _compact_rows(codes.astype(jnp.float32)
+                               * mask.astype(jnp.float32), mask, keep)
+    vals = vals.astype(jnp.int32)                                # [..., C, keep]
+    rows = []
+    off = 0
+    for k in fmt.segs:
+        seg = _interleave_vals(vals[..., off:off + k], C, k)
+        rows.append(_pack_bytes_rows(seg))
+        off += k
+    rows.append(jax.lax.bitcast_convert_type(bitmap16(bits, C), jnp.int16))
+    return jnp.concatenate(rows, axis=-2), scales
+
+
+def decode_stream_q8(rows: jnp.ndarray, scales: jnp.ndarray,
+                     fmt: ChunkFormat) -> jnp.ndarray:
+    """Inverse of encode_stream_q8 -> dense bf16 [..., C, D]."""
+    assert fmt.qbits == 8, fmt
+    C, D = fmt.chunk, fmt.dim
+    segs, off = [], 0
+    for k in fmt.segs:
+        R = fmt.seg_rows(k)
+        seg = _unpack_bytes_rows(rows[..., off:off + R, :])
+        segs.append(_deinterleave_vals(seg.astype(jnp.float32), C, k))
+        off += R
+    vals = jnp.concatenate(segs, axis=-1)                        # [..., C, keep]
+    bmp = jax.lax.bitcast_convert_type(rows[..., off:off + C // 16, :],
+                                       jnp.uint16)
+    bits = unpack_bitmap16(bmp, C)
+    rank = jnp.cumsum(bits, axis=-1) - 1
+    take = jnp.clip(rank, 0, fmt.keep_stored - 1)
+    dense = jnp.take_along_axis(vals, take, axis=-1)
+    dense = jnp.where(bits > 0, dense, 0.0)
+    return (dense * scales.astype(jnp.float32)[..., None, :]
+            ).astype(jnp.bfloat16)
+
+
+def prune_and_encode_stream_q8(dense: jnp.ndarray, fmt: ChunkFormat,
+                               score: jnp.ndarray | None = None):
+    mask = topk_mask(dense if score is None else score, fmt.keep)
+    return encode_stream_q8(jnp.where(mask, dense, 0).astype(dense.dtype), fmt)

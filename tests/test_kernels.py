@@ -208,3 +208,58 @@ def test_window_tile_and_nonstandard_wcap():
     wts = np.asarray(jax.nn.softmax(jnp.asarray(lg), -1))
     want = np.einsum("bhgs,bhsd->bhgd", wts, bf(vv)).reshape(B, 1, Hq, D)
     np.testing.assert_allclose(out, want, rtol=3e-2, atol=3e-2)
+
+
+def test_v7_bitmap_q8_matches_dequant_reference():
+    """bitmap-q8 capacity codec through v7: int8-code streams + per-channel
+    scales folded into q / pv must reproduce masked dense attention over the
+    DEQUANTIZED cache (the codec's exact target)."""
+    fmt = sf.ChunkFormat(chunk=256, dim=128, keep=40, qbits=8)
+    rs = np.random.RandomState(23)
+    B, Hkv, G = 2, 2, 4
+    Hq = Hkv * G
+    mc, nact = 3, 2
+    C, D, W, wl = 256, 128, 288, 120
+    BH = B * Hkv
+
+    k_pruned, *_ = make_case(rs, B, Hkv, G, mc, mc, W, 0)
+    v_pruned, *_ = make_case(rs, B, Hkv, G, mc, mc, W, 0)
+    kp = jnp.asarray(k_pruned.reshape(BH * mc, C, D), jnp.bfloat16)
+    vp = jnp.asarray(v_pruned.reshape(BH * mc, C, D), jnp.bfloat16)
+    k_rows, k_sc = sf.encode_stream_q8(kp, fmt)
+    v_rows, v_sc = sf.encode_stream_q8(vp, fmt)
+    # dequantized dense (what the kernel must reproduce)
+    k_deq = np.asarray(sf.decode_stream_q8(k_rows, k_sc, fmt), np.float32)
+    v_deq = np.asarray(sf.decode_stream_q8(v_rows, v_sc, fmt), np.float32)
+    pool = jnp.swapaxes(jnp.concatenate(
+        [jnp.asarray(np.asarray(k_rows).reshape(BH, mc, fmt.stream_rows, 128)),
+         jnp.asarray(np.asarray(v_rows).reshape(BH, mc, fmt.stream_rows, 128))],
+        axis=-2), 0, 1)                                   # [mc, BH, 2SR, 128]
+    ksc = jnp.asarray(np.asarray(k_sc).reshape(BH, mc, D).transpose(1, 0, 2),
+                      jnp.bfloat16)
+    vsc = jnp.asarray(np.asarray(v_sc).reshape(BH, mc, D).transpose(1, 0, 2),
+                      jnp.bfloat16)
+    k_win = rs.randn(B, Hkv, W, D).astype(np.float32); k_win[:, :, wl:] = 0
+    v_win = rs.randn(B, Hkv, W, D).astype(np.float32); v_win[:, :, wl:] = 0
+    q = rs.randn(B, 1, Hq, D).astype(np.float32)
+
+    out = np.asarray(ska.fused_sparse_decode_attention_v7(
+        jnp.asarray(q, jnp.bfloat16), pool,
+        jnp.asarray(k_win, jnp.bfloat16), jnp.asarray(v_win, jnp.bfloat16),
+        jnp.int32(nact), jnp.int32(wl), fmt, fmt, mc,
+        kscales=ksc, vscales=vsc), np.float32)
+
+    # masked dense reference over dequantized pools ++ window (bf16 scales:
+    # the kernel folds them in bf16; tolerance covers it)
+    bf = lambda x: np.asarray(jnp.asarray(x, jnp.bfloat16).astype(jnp.float32))
+    kk = np.concatenate([k_deq.reshape(BH, mc, C, D)[:, :nact]
+                         .reshape(B, Hkv, nact * C, D), bf(k_win)[:, :, :wl]],
+                        axis=2)
+    vv = np.concatenate([v_deq.reshape(BH, mc, C, D)[:, :nact]
+                         .reshape(B, Hkv, nact * C, D), bf(v_win)[:, :, :wl]],
+                        axis=2)
+    qg = bf(q)[:, 0].reshape(B, Hkv, G, D)
+    lg = np.einsum("bhgd,bhsd->bhgs", qg, kk) / np.sqrt(D)
+    wts = np.asarray(jax.nn.softmax(jnp.asarray(lg), -1))
+    want = np.einsum("bhgs,bhsd->bhgd", wts, vv).reshape(B, 1, Hq, D)
+    np.testing.assert_allclose(out, want, atol=4e-2 * np.abs(want).max())

@@ -328,3 +328,58 @@ def test_prune_quant_pack_kernel_matches_xla(bits, keep, use_score):
     for bh, t, d in where:
         ratio = np.float32(xf[bh, t, d]) / sc[bh, d]
         assert abs(abs(ratio) % 1.0 - 0.5) < 1e-4, (bh, t, d, ratio)
+
+
+def test_bitmap_q8_cache_tracks_bitmap():
+    """bitmap-q8 (int8 NZ payload + per-channel scales): one decode step on
+    the same pruned state must track the exact-bf16 bitmap codec within int8
+    quantization noise, through the cache (prefill pack -> decode attend)."""
+    B, Hkv, D = 1, MODEL128.num_kv_heads, MODEL128.head_dim
+    Hq = MODEL128.num_heads
+    rs = np.random.RandomState(11)
+    q = jnp.asarray(rs.randn(B, 512, Hq, D) * 0.3, jnp.float32)
+    k = jnp.asarray(rs.randn(B, 512, Hkv, D) * 0.3, jnp.float32)
+    v = jnp.asarray(rs.randn(B, 512, Hkv, D) * 0.3, jnp.float32)
+    qd = jnp.asarray(rs.randn(B, 1, Hq, D) * 0.3, jnp.float32)
+    zero = jnp.zeros((B, 1, Hkv, D), jnp.float32)
+    outs = {}
+    for codec in ["bitmap", "bitmap-q8"]:
+        impl = CompressedKVCache(_engine(0.7, codec), use_pallas=False)
+        lc = {key: val[0] for key, val in impl.init(B, jnp.bfloat16).items()}
+        _, lc = impl.prefill_attend(lc, q, k, v, jnp.int32(500))
+        assert int(lc["n_chunks"][0]) == 1
+        if codec == "bitmap-q8":
+            assert (np.asarray(lc["kv_scales"]) != 0).any()
+        out, _ = impl.decode_attend(dict(lc), qd, zero, zero, jnp.int32(500))
+        outs[codec] = np.asarray(out, np.float32)
+    ref = np.abs(outs["bitmap"]).max()
+    assert np.abs(outs["bitmap-q8"] - outs["bitmap"]).max() < 0.05 * ref
+
+
+def test_bitmap_q8_generation_and_kernel_path():
+    """bitmap-q8 end-to-end generation (prefill, decode, compaction past
+    r+C), and interpret-kernel vs XLA-fallback agreement."""
+    params = init_params(MODEL128, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    prompt = np.random.RandomState(0).randint(0, 512, size=(2, 300))
+    eng = _engine(0.7, "bitmap-q8")
+    toks = Generator(eng, params, dtype=jnp.bfloat16).generate(prompt, 40)
+    assert np.asarray(toks).shape == (2, 40)
+
+    impl_x = CompressedKVCache(eng, use_pallas=False)
+    impl_p = CompressedKVCache(eng, use_pallas=True)
+    B, Hkv, D = 1, MODEL128.num_kv_heads, MODEL128.head_dim
+    Hq = MODEL128.num_heads
+    rs = np.random.RandomState(5)
+    q = jnp.asarray(rs.randn(B, 512, Hq, D) * 0.3, jnp.float32)
+    k = jnp.asarray(rs.randn(B, 512, Hkv, D) * 0.3, jnp.float32)
+    v = jnp.asarray(rs.randn(B, 512, Hkv, D) * 0.3, jnp.float32)
+    lc = {key: val[0] for key, val in impl_x.init(B, jnp.bfloat16).items()}
+    _, lc = impl_x.prefill_attend(lc, q, k, v, jnp.int32(500))
+    qd = jnp.asarray(rs.randn(B, 1, Hq, D) * 0.3, jnp.float32)
+    kd = jnp.asarray(rs.randn(B, 1, Hkv, D) * 0.3, jnp.float32)
+    vd = jnp.asarray(rs.randn(B, 1, Hkv, D) * 0.3, jnp.float32)
+    out_x, _ = impl_x.decode_attend(dict(lc), qd, kd, vd, jnp.int32(500))
+    out_p, _ = impl_p.decode_attend(dict(lc), qd, kd, vd, jnp.int32(500))
+    np.testing.assert_allclose(np.asarray(out_x, np.float32),
+                               np.asarray(out_p, np.float32),
+                               atol=2e-2 * np.abs(np.asarray(out_x)).max())
