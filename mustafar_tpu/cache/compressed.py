@@ -96,9 +96,6 @@ class CompressedKVCache:
             qb = 8 if self.bitmap_q8 else 16
             self.kfmt = sf.ChunkFormat(C, m.head_dim, self.k_keep, qbits=qb)
             self.vfmt = sf.ChunkFormat(C, m.head_dim, self.v_keep, qbits=qb)
-            assert not (self.bitmap_q8 and engine.chunked_prefill), (
-                "bitmap-q8 is wired for the uniform decode path (v7); "
-                "chunked prefill needs the segment kernel — use q8q4/q4q4")
         else:
             from mustafar_tpu.ops import quant_format as qf
             kbits, vbits = {"q8": (8, 8), "q8q4": (8, 4),
@@ -453,21 +450,37 @@ class CompressedKVCache:
                         out_specs=(qspec, qspec, qspec), check_vma=False)
                 p_pool = call(q, full["kv_pool"], full["kv_scales"], nc,
                               seg_start, li)
-            else:
+            elif self.bitmap_q8:
                 from mustafar_tpu.ops.kernels import sparse_attention as ska
-                pool6 = jax.lax.dynamic_index_in_dim(full["kv_pool"], li, 0,
-                                                     keepdims=False)
-                call = lambda q_, pool6_, nc_, ss_: \
+                call = lambda q_, pool7_, s7_, nc_, ss_, li_: \
                     ska.fused_sparse_segment_attention(
-                        q_, self._pool_bh(pool6_), nc_, ss_, self.kfmt,
-                        self.vfmt, self.max_chunks, window=self.window)
+                        q_, self._pool_bh7(pool7_), nc_, ss_, self.kfmt,
+                        self.vfmt, self.max_chunks, li=li_,
+                        window=self.window,
+                        **dict(zip(("kscales", "vscales"),
+                                   self._scales_bh7(s7_))))
                 if self.mesh is not None:
-                    pspec = P(None, "data", "model", None, None)
+                    pspec7 = P(None, None, "data", "model", None, None)
                     call = jax.shard_map(
                         call, mesh=self.mesh,
-                        in_specs=(qspec, pspec, P(), P()),
+                        in_specs=(qspec, pspec7, pspec7, P(), P(), P()),
                         out_specs=(qspec, qspec, qspec), check_vma=False)
-                p_pool = call(q, pool6, nc, seg_start)
+                p_pool = call(q, full["kv_pool"], full["kv_scales"], nc,
+                              seg_start, li)
+            else:
+                from mustafar_tpu.ops.kernels import sparse_attention as ska
+                call = lambda q_, pool7_, nc_, ss_, li_: \
+                    ska.fused_sparse_segment_attention(
+                        q_, self._pool_bh7(pool7_), nc_, ss_, self.kfmt,
+                        self.vfmt, self.max_chunks, li=li_,
+                        window=self.window)
+                if self.mesh is not None:
+                    pspec7 = P(None, None, "data", "model", None, None)
+                    call = jax.shard_map(
+                        call, mesh=self.mesh,
+                        in_specs=(qspec, pspec7, P(), P(), P()),
+                        out_specs=(qspec, qspec, qspec), check_vma=False)
+                p_pool = call(q, full["kv_pool"], nc, seg_start, li)
         else:
             lc_xla = dict(lc)
             for key in self.segment_stacked_ro:
@@ -657,23 +670,6 @@ class CompressedKVCache:
             valid &= abs_idx > (pos_b[:, None] - self.window)
         return valid
 
-    def _window_probs_from_stats(self, q, kw_l, valid, m, l):
-        """Post-softmax weights at the window columns from the decode
-        kernel's final online-softmax stats: p = exp(q.k*scale - m) / l,
-        folded over the query group (same reconstruction as the masked
-        cache's _window_probs).  kw_l [B,Hkv,wcap,D] post-append window;
-        m/l [B,Hkv,G,1] fp32.  Returns [B,Hkv,wcap] fp32, invalid cols 0."""
-        B, _, Hq, D = q.shape
-        Hkv = kw_l.shape[1]
-        G = Hq // Hkv
-        qg = q[:, 0].reshape(B, Hkv, G, D).astype(jnp.bfloat16)
-        s = jnp.einsum("bhgd,bhwd->bhgw", qg, kw_l.astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
-        s = s * (1.0 / jnp.sqrt(jnp.float32(D)))
-        p = jnp.exp(s - m) / jnp.maximum(l, 1e-30)
-        p = jnp.where(valid[:, None, None, :], p, 0.0)
-        return p.sum(axis=2)
-
     def _accumulate_scores(self, upd, full, li, q, valid, p_win):
         """Add this step's Opa scores for the live window columns into the
         stacked score buffers at layer ``li`` (k: |mean|q| * k| per element,
@@ -752,6 +748,7 @@ class CompressedKVCache:
         opa = self.k_opa or self.v_opa
         p_win = None
         if self.use_pallas:
+            extra = "win_probs" if self.v_opa else None
             if self.qcodec is not None:
                 from mustafar_tpu.ops.kernels import quant_attention as qa
                 call = lambda q_, pool7_, s7_, kw5_, vw5_, nc_, wl_, li_: \
@@ -759,48 +756,47 @@ class CompressedKVCache:
                         q_, self._pool_bh7(pool7_), *self._scales_bh7(s7_),
                         self._win_bh(kw5_), self._win_bh(vw5_), nc_, wl_,
                         self.qcodec, self.max_chunks, li=li_,
-                        window=self.window, return_norm=self.v_opa)
+                        window=self.window, return_win_probs=self.v_opa)
                 if self.mesh is not None:
                     from mustafar_tpu.parallel import sharding as sh
                     call = sh.shard_headlocal_attend(
                         call, self.mesh, quant=True, stacked=True,
-                        extra_out="norm" if self.v_opa else None)
+                        extra_out=extra)
+                out = call(q, full["kv_pool"], full["kv_scales"],
+                           upd["k_win"], upd["v_win"], n_chunks, win_len, li)
+            elif self.bitmap_q8:
+                from mustafar_tpu.ops.kernels import sparse_attention as ska
+                call = lambda q_, pool7_, s7_, kw5_, vw5_, nc_, wl_, li_: \
+                    ska.fused_sparse_decode_attention_v7(
+                        q_, self._pool_bh7(pool7_),
+                        self._win_bh(kw5_), self._win_bh(vw5_), nc_, wl_,
+                        self.kfmt, self.vfmt, self.max_chunks, li=li_,
+                        window=self.window, return_win_probs=self.v_opa,
+                        **dict(zip(("kscales", "vscales"),
+                                   self._scales_bh7(s7_))))
+                if self.mesh is not None:
+                    from mustafar_tpu.parallel import sharding as sh
+                    call = sh.shard_headlocal_attend(
+                        call, self.mesh, quant=True, stacked=True,
+                        extra_out=extra)
                 out = call(q, full["kv_pool"], full["kv_scales"],
                            upd["k_win"], upd["v_win"], n_chunks, win_len, li)
             else:
                 from mustafar_tpu.ops.kernels import sparse_attention as ska
-                pool6 = jax.lax.dynamic_index_in_dim(full["kv_pool"], li, 0,
-                                                     keepdims=False)
-                kw = jax.lax.dynamic_index_in_dim(upd["k_win"], li, 0,
-                                                  keepdims=False)
-                vw = jax.lax.dynamic_index_in_dim(upd["v_win"], li, 0,
-                                                  keepdims=False)
-                sc_kw = {}
-                if self.bitmap_q8:
-                    assert self.mesh is None, (
-                        "bitmap-q8 under a mesh is not wired yet")
-                    s6 = jax.lax.dynamic_index_in_dim(full["kv_scales"], li,
-                                                      0, keepdims=False)
-                    ks_, vs_ = self._scales_bh(s6)
-                    sc_kw = dict(kscales=ks_, vscales=vs_)
-                call = lambda q_, pool6_, kw_, vw_, nc_, wl_: \
+                call = lambda q_, pool7_, kw5_, vw5_, nc_, wl_, li_: \
                     ska.fused_sparse_decode_attention_v7(
-                        q_, self._pool_bh(pool6_), kw_, vw_, nc_, wl_,
-                        self.kfmt, self.vfmt, self.max_chunks, hpb=16,
-                        window=self.window, return_norm=self.v_opa, **sc_kw)
+                        q_, self._pool_bh7(pool7_),
+                        self._win_bh(kw5_), self._win_bh(vw5_), nc_, wl_,
+                        self.kfmt, self.vfmt, self.max_chunks, li=li_,
+                        window=self.window, return_win_probs=self.v_opa)
                 if self.mesh is not None:
                     from mustafar_tpu.parallel import sharding as sh
                     call = sh.shard_headlocal_attend(
-                        call, self.mesh,
-                        extra_out="norm" if self.v_opa else None)
-                out = call(q, pool6, kw, vw, n_chunks, win_len)
+                        call, self.mesh, stacked=True, extra_out=extra)
+                out = call(q, full["kv_pool"], upd["k_win"], upd["v_win"],
+                           n_chunks, win_len, li)
             if self.v_opa:
-                out, m_st, l_st = out
-                kw_l = jax.lax.dynamic_index_in_dim(upd["k_win"], li, 0,
-                                                    keepdims=False)
-                p_win = self._window_probs_from_stats(
-                    q, kw_l, self._win_validity(n_chunks, win_len, pos, B),
-                    m_st, l_st)
+                out, p_win = out
         else:
             lc_xla = self._lc_xla(lc, upd, full, li)
             out = self._decode_attend_xla(lc_xla, q, n_chunks, win_len,
@@ -847,42 +843,58 @@ class CompressedKVCache:
         for key, tok in (("k_win", k), ("v_win", v)):
             upd[key] = full[key].at[li, bidx, :, win_len - 1].set(
                 tok[:, 0].astype(full[key].dtype))
-        kw = jax.lax.dynamic_index_in_dim(upd["k_win"], li, 0, keepdims=False)
-        vw = jax.lax.dynamic_index_in_dim(upd["v_win"], li, 0, keepdims=False)
 
         opa = self.k_opa or self.v_opa
         p_win = None
-        if self.use_pallas and Hkv in (8, 16):
+        if self.use_pallas:
+            extra = "win_probs" if self.v_opa else None
             if self.qcodec is not None:
                 from mustafar_tpu.ops.kernels import quant_attention as qa
-                call = lambda q_, pool7_, s7_, kw_, vw_, nc_, wl_, li_: \
+                call = lambda q_, pool7_, s7_, kw5_, vw5_, nc_, wl_, li_: \
                     qa.fused_q_decode_attention_ps(
                         q_, self._pool_bh7(pool7_), *self._scales_bh7(s7_),
-                        kw_, vw_, nc_, wl_, self.qcodec, mc, li=li_,
-                        window=self.window, return_win_probs=self.v_opa)
-                if self.mesh is not None:
-                    from mustafar_tpu.parallel import sharding as sh
-                    call = sh.shard_headlocal_attend(
-                        call, self.mesh, per_slot=True, quant=True,
-                        stacked=True,
-                        extra_out="win_probs" if self.v_opa else None)
-                out = call(q, full["kv_pool"], full["kv_scales"], kw, vw,
-                           nc, win_len, li)
-            else:
-                from mustafar_tpu.ops.kernels import sparse_attention as ska
-                pool6 = jax.lax.dynamic_index_in_dim(full["kv_pool"], li, 0,
-                                                     keepdims=False)
-                call = lambda q_, pool6_, kw_, vw_, nc_, wl_: \
-                    ska.fused_sparse_decode_attention_v6ps(
-                        q_, self._pool_bh(pool6_), kw_, vw_, nc_, wl_,
-                        self.kfmt, self.vfmt, mc, window=self.window,
+                        self._win_bh(kw5_), self._win_bh(vw5_), nc_, wl_,
+                        self.qcodec, mc, li=li_, window=self.window,
                         return_win_probs=self.v_opa)
                 if self.mesh is not None:
                     from mustafar_tpu.parallel import sharding as sh
                     call = sh.shard_headlocal_attend(
-                        call, self.mesh, per_slot=True,
-                        extra_out="win_probs" if self.v_opa else None)
-                out = call(q, pool6, kw, vw, nc, win_len)
+                        call, self.mesh, per_slot=True, quant=True,
+                        stacked=True, extra_out=extra)
+                out = call(q, full["kv_pool"], full["kv_scales"],
+                           upd["k_win"], upd["v_win"], nc, win_len, li)
+            elif self.bitmap_q8:
+                from mustafar_tpu.ops.kernels import sparse_attention as ska
+                call = lambda q_, pool7_, s7_, kw5_, vw5_, nc_, wl_, li_: \
+                    ska.fused_sparse_decode_attention_v6ps(
+                        q_, self._pool_bh7(pool7_),
+                        self._win_bh(kw5_), self._win_bh(vw5_), nc_, wl_,
+                        self.kfmt, self.vfmt, mc, li=li_, window=self.window,
+                        return_win_probs=self.v_opa,
+                        **dict(zip(("kscales", "vscales"),
+                                   self._scales_bh7(s7_))))
+                if self.mesh is not None:
+                    from mustafar_tpu.parallel import sharding as sh
+                    call = sh.shard_headlocal_attend(
+                        call, self.mesh, per_slot=True, quant=True,
+                        stacked=True, extra_out=extra)
+                out = call(q, full["kv_pool"], full["kv_scales"],
+                           upd["k_win"], upd["v_win"], nc, win_len, li)
+            else:
+                from mustafar_tpu.ops.kernels import sparse_attention as ska
+                call = lambda q_, pool7_, kw5_, vw5_, nc_, wl_, li_: \
+                    ska.fused_sparse_decode_attention_v6ps(
+                        q_, self._pool_bh7(pool7_),
+                        self._win_bh(kw5_), self._win_bh(vw5_), nc_, wl_,
+                        self.kfmt, self.vfmt, mc, li=li_, window=self.window,
+                        return_win_probs=self.v_opa)
+                if self.mesh is not None:
+                    from mustafar_tpu.parallel import sharding as sh
+                    call = sh.shard_headlocal_attend(
+                        call, self.mesh, per_slot=True, stacked=True,
+                        extra_out=extra)
+                out = call(q, full["kv_pool"], upd["k_win"], upd["v_win"],
+                           nc, win_len, li)
             if self.v_opa:
                 out, p_win = out
         else:

@@ -17,9 +17,15 @@ Entry points mirror the bitmap-codec kernels:
 
   fused_q_decode_attention      — uniform-batch decode, in-kernel window
   fused_q_decode_attention_ps   — per-slot counts (continuous batching);
-                                  pool partials in-kernel, window in XLA
+                                  pools AND window in-kernel, per-head
+                                  window trip counts
   fused_q_segment_attention     — multi-query-row segment over the pools
                                   (chunked prefill), returns flash partials
+
+Both decode kernels can return the post-softmax window-column probabilities
+(``return_win_probs``) for output-aware (Opa) scoring, computed in-kernel
+from the streamed window tiles.  Any Hkv is supported (block head count
+adapts; sparse_attention._pick_hpb).
 """
 
 from __future__ import annotations
@@ -34,6 +40,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mustafar_tpu.ops.quant_format import QuantCodec
+from mustafar_tpu.ops.kernels.sparse_attention import (
+    _pick_hpb, _window_tile, _probs_epilogue, _fold_probs)
 
 
 def _interpret() -> bool:
@@ -65,9 +73,13 @@ def _bcast_heads(s, hpb: int, g8: int):
 # ---------------------------------------------------------------------------
 
 def _q_decode_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, ks_ref, vs_ref,
-                     q_ref, out_ref, m_out, l_out, buf, wbuf, sems, wsems,
-                     m_ref, l_ref, acc_ref, *, codec: QuantCodec, hpb, wt,
-                     fdepth, scale, nslots, window):
+                     q_ref, *refs, codec: QuantCodec, hpb, NW, wt, gsize,
+                     fdepth, scale, nslots, window, want_probs):
+    refs = list(refs)
+    out_ref, m_out, l_out = refs.pop(0), refs.pop(0), refs.pop(0)
+    probs_ref = refs.pop(0) if want_probs else None
+    buf, wbuf, sems, wsems, m_ref, l_ref, acc_ref = refs[:7]
+    ws_ref = refs[7] if want_probs else None
     nc = scalars_ref[0]
     win_len = scalars_ref[1]
     li = scalars_ref[2]        # layer index into the stacked [L, ...] inputs
@@ -79,6 +91,7 @@ def _q_decode_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, ks_ref, vs_ref,
     G8 = q_ref.shape[1]
     HG = hpb * G8
     HC = hpb * C
+    HW = hpb * wt
     F = fdepth
     n_fetch = (nc + F - 1) // F
 
@@ -96,6 +109,8 @@ def _q_decode_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, ks_ref, vs_ref,
     m_ref[:] = jnp.full(m_ref.shape, -1e30, jnp.float32)
     l_ref[:] = jnp.zeros(l_ref.shape, jnp.float32)
     acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+    if want_probs:
+        ws_ref[:] = jnp.full(ws_ref.shape, -1e30, jnp.float32)
     n_wtiles = (win_len + wt - 1) // wt
 
     for s in range(nslots - 1):
@@ -165,38 +180,44 @@ def _q_decode_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, ks_ref, vs_ref,
 
     jax.lax.fori_loop(0, n_fetch, fetch_body, 0)
 
-    whq = jax.lax.broadcasted_iota(jnp.int32, (HG, hpb * wt), 0) // G8
-    whk = jax.lax.broadcasted_iota(jnp.int32, (HG, hpb * wt), 1) // wt
-    wpos_l = jax.lax.broadcasted_iota(jnp.int32, (HG, hpb * wt), 1) % wt
+    # dynamic-length window tiles (static unroll so score tiles can be
+    # stored at static scratch indices for the probs epilogue)
+    whq = jax.lax.broadcasted_iota(jnp.int32, (HG, HW), 0) // G8
+    whk = jax.lax.broadcasted_iota(jnp.int32, (HG, HW), 1) // wt
+    wpos_l = jax.lax.broadcasted_iota(jnp.int32, (HG, HW), 1) % wt
     wblk = whq == whk
 
-    def win_body(wi, _):
-        slot = wi % 2
+    for wi in range(NW):
+        @pl.when(wi < n_wtiles)
+        def _(wi=wi):
+            if wi + 1 < NW:   # static guard: the copy is CONSTRUCTED at
+                # trace time even under pl.when; wi+1 == NW is out of bounds
+                @pl.when(wi + 1 < n_wtiles)
+                def _():
+                    wcopy((wi + 1) % 2, wi + 1, 0).start()
+                    wcopy((wi + 1) % 2, wi + 1, 1).start()
 
-        @pl.when(wi + 1 < n_wtiles)
-        def _():
-            wcopy((wi + 1) % 2, wi + 1, 0).start()
-            wcopy((wi + 1) % 2, wi + 1, 1).start()
+            wcopy(wi % 2, wi, 0).wait()
+            wcopy(wi % 2, wi, 1).wait()
+            kw_all = wbuf[wi % 2, 0].reshape(HW, D)
+            vw_all = wbuf[wi % 2, 1].reshape(HW, D)
+            s = jax.lax.dot_general(q_all, kw_all, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            s = jnp.where(wblk & ((wi * wt + wpos_l) < win_len), s, -1e30)
+            if want_probs:
+                ws_ref[wi] = s
+            online(s, vw_all, None)
 
-        wcopy(slot, wi, 0).wait()
-        wcopy(slot, wi, 1).wait()
-        kw_all = wbuf[slot, 0].reshape(hpb * wt, D)
-        vw_all = wbuf[slot, 1].reshape(hpb * wt, D)
-        s = jax.lax.dot_general(q_all, kw_all, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        s = jnp.where(wblk & ((wi * wt + wpos_l) < win_len), s, -1e30)
-        online(s, vw_all, None)
-        return 0
-
-    jax.lax.fori_loop(0, n_wtiles, win_body, 0)
     # nc == 0 and win_len == 0 leaves l == 0; clamp to avoid 0/0
-    out_ref[:] = (acc_ref[:].reshape(HG, D)
-                  / jnp.maximum(l_ref[:].reshape(HG, 128)[:, :1], 1e-30)
-                  ).reshape(out_ref.shape)
-    # final online-softmax stats: Opa policies reconstruct post-softmax
-    # weights at the window columns from (m, l) (cache/compressed.py)
+    l1 = jnp.maximum(l_ref[:].reshape(HG, 128)[:, :1], 1e-30)
+    out_ref[:] = (acc_ref[:].reshape(HG, D) / l1).reshape(out_ref.shape)
+    # final online-softmax stats: Opa policies can reconstruct post-softmax
+    # weights at any column from (m, l) (cache/compressed.py)
     m_out[:] = m_ref[:, :, :1]
     l_out[:] = l_ref[:, :, :1]
+    if want_probs:
+        _probs_epilogue(probs_ref, ws_ref, m_ref[:].reshape(HG, 128)[:, :1],
+                        l1, NW, hpb, G8, gsize, wt)
 
 
 def fused_q_decode_attention(q, kv_pool, kscales, vscales, k_win, v_win,
@@ -205,12 +226,15 @@ def fused_q_decode_attention(q, kv_pool, kscales, vscales, k_win, v_win,
                              wt: int = 96, fdepth: int | None = None,
                              nslots: int | None = None,
                              window: int | None = None,
-                             return_norm: bool = False):
+                             return_norm: bool = False,
+                             return_win_probs: bool = False):
     """Fused decode over quantized pools, uniform batch.
 
     ``return_norm``: also return the final online-softmax stats (m, l), each
     [B, Hkv, G, 1] fp32 — post-softmax weights at any column with score s are
-    exp(s - m) / l (Opa scoring, cache/compressed.py).
+    exp(s - m) / l.  ``return_win_probs``: also return the post-softmax
+    window-column weights folded over the query group, [B, Hkv, Wcap] fp32,
+    computed in-kernel (Opa scoring; no XLA q.k_win re-read).
 
     Stacked form (the production decode path — no per-layer cache slices are
     ever materialized; the kernel DMAs from the full stacked state at layer
@@ -242,9 +266,7 @@ def fused_q_decode_attention(q, kv_pool, kscales, vscales, k_win, v_win,
     W = k_win.shape[2]
     G = Hq // Hkv
     G8 = max(8, G)
-    hpb = min(hpb, BH)
-    while BH % hpb:
-        hpb //= 2
+    hpb = _pick_hpb(BH, hpb, align8=True)
     NB = BH // hpb
     L = kv_pool.shape[0]
     assert kv_pool.shape == (L, max_chunks, BH, RQ, 128), kv_pool.shape
@@ -262,8 +284,9 @@ def fused_q_decode_attention(q, kv_pool, kscales, vscales, k_win, v_win,
     # more slots than fetch groups would index pool_hbm out of bounds at
     # trace time in the static prefetch loop (pl.ds(s*fdepth, fdepth))
     nslots = max(1, min(nslots, max_chunks // fdepth))
-    from mustafar_tpu.ops.kernels.sparse_attention import _window_tile
     wt = _window_tile(W, wt)
+    NW = W // wt
+    HG = hpb * G8
 
     qg = q[:, 0].reshape(B, Hkv, G, D)
     qpad = jnp.pad(qg.reshape(BH, G, D), ((0, 0), (0, G8 - G), (0, 0)))
@@ -275,6 +298,30 @@ def fused_q_decode_attention(q, kv_pool, kscales, vscales, k_win, v_win,
     sspec = pl.BlockSpec((1, max_chunks, hpb, D),
                          lambda b, sref: (sref[2], 0, b, 0),
                          memory_space=pltpu.VMEM)
+    out_specs = [pl.BlockSpec((hpb, G8, D), lambda b, sref: (b, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((hpb, G8, 1), lambda b, sref: (b, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((hpb, G8, 1), lambda b, sref: (b, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((BH, G8, D), jnp.float32),
+                 jax.ShapeDtypeStruct((BH, G8, 1), jnp.float32),
+                 jax.ShapeDtypeStruct((BH, G8, 1), jnp.float32)]
+    scratch = [
+        pltpu.VMEM((nslots, fdepth, hpb, RQ, 128), jnp.int16),
+        pltpu.VMEM((2, 2, hpb, wt, D), jnp.bfloat16),
+        pltpu.SemaphoreType.DMA((nslots,)),
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.VMEM((hpb, G8, 128), jnp.float32),
+        pltpu.VMEM((hpb, G8, 128), jnp.float32),
+        pltpu.VMEM((hpb, G8, D), jnp.float32),
+    ]
+    if return_win_probs:
+        out_specs.append(pl.BlockSpec((1, NW, hpb, wt),
+                                      lambda b, sref: (b, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((NB, NW, hpb, wt), jnp.float32))
+        scratch.append(pltpu.VMEM((NW, HG, hpb * wt), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NB,),
@@ -284,47 +331,44 @@ def fused_q_decode_attention(q, kv_pool, kscales, vscales, k_win, v_win,
                   sspec, sspec,
                   pl.BlockSpec((hpb, G8, D), lambda b, sref: (b, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((hpb, G8, D), lambda b, sref: (b, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((hpb, G8, 1), lambda b, sref: (b, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((hpb, G8, 1), lambda b, sref: (b, 0, 0),
-                                memory_space=pltpu.VMEM)),
-        scratch_shapes=[
-            pltpu.VMEM((nslots, fdepth, hpb, RQ, 128), jnp.int16),
-            pltpu.VMEM((2, 2, hpb, wt, D), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((nslots,)),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.VMEM((hpb, G8, 128), jnp.float32),
-            pltpu.VMEM((hpb, G8, 128), jnp.float32),
-            pltpu.VMEM((hpb, G8, D), jnp.float32),
-        ],
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
     )
-    out, m_c, l_c = pl.pallas_call(
-        functools.partial(_q_decode_kernel, codec=codec, hpb=hpb, wt=wt,
-                          fdepth=fdepth, scale=float(1.0 / np.sqrt(D)),
-                          nslots=nslots, window=window),
+    res = pl.pallas_call(
+        functools.partial(_q_decode_kernel, codec=codec, hpb=hpb, NW=NW,
+                          wt=wt, gsize=G, fdepth=fdepth,
+                          scale=float(1.0 / np.sqrt(D)),
+                          nslots=nslots, window=window,
+                          want_probs=return_win_probs),
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((BH, G8, D), jnp.float32),
-                   jax.ShapeDtypeStruct((BH, G8, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((BH, G8, 1), jnp.float32)),
+        out_shape=tuple(out_shape),
         interpret=_interpret(),
     )(scalars, kv_pool, k_win, v_win, kscales, vscales, qb)
+    out, m_c, l_c = res[0], res[1], res[2]
     out = out[:, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
-    if not return_norm:
+    extras = []
+    if return_norm:
+        extras += [m_c[:, :G].reshape(B, Hkv, G, 1),
+                   l_c[:, :G].reshape(B, Hkv, G, 1)]
+    if return_win_probs:
+        extras.append(_fold_probs(res[3], B, Hkv, W))
+    if not extras:
         return out
-    m = m_c[:, :G].reshape(B, Hkv, G, 1)
-    l = l_c[:, :G].reshape(B, Hkv, G, 1)
-    return out, m, l
+    return (out, *extras)
 
 
 # ---------------------------------------------------------------------------
 # Per-slot fused decode (counterpart of sparse_attention v6ps)
 # ---------------------------------------------------------------------------
 
-def _q_ps_kernel(scalars_ref, pool_hbm, ks_ref, vs_ref, q_ref, out_ref,
-                 m_out, l_out, buf, sems, m_ref, l_ref, acc_ref,
-                 *, codec: QuantCodec, hpb, hkv, nslots, scale, window):
+def _q_ps_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, ks_ref, vs_ref,
+                 q_ref, *refs, codec: QuantCodec, hpb, hkv, nslots, NW, wt,
+                 gsize, scale, window, want_probs):
+    refs = list(refs)
+    out_ref, m_out, l_out = refs.pop(0), refs.pop(0), refs.pop(0)
+    probs_ref = refs.pop(0) if want_probs else None
+    buf, wbuf, sems, wsems, m_ref, l_ref, acc_ref = refs[:7]
+    ws_ref = refs[7] if want_probs else None
     b = pl.program_id(0)
     h0 = b * hpb
     D, C = codec.dim, codec.chunk
@@ -333,25 +377,43 @@ def _q_ps_kernel(scalars_ref, pool_hbm, ks_ref, vs_ref, q_ref, out_ref,
     G8 = q_ref.shape[1]
     HG = hpb * G8
     HC = hpb * C
+    HW = hpb * wt
 
     ncs = [scalars_ref[(h0 + j) // hkv] for j in range(hpb)]
     wls = [scalars_ref[nslots + (h0 + j) // hkv] for j in range(hpb)]
-    li = scalars_ref[2 * nslots]   # layer index into the stacked pool/scales
+    li = scalars_ref[2 * nslots]   # layer index into the stacked state
     nc_max = ncs[0]
+    wl_max = wls[0]
     for v in ncs[1:]:
         nc_max = jnp.maximum(nc_max, v)
+    for v in wls[1:]:
+        wl_max = jnp.maximum(wl_max, v)
+    n_wtiles = (wl_max + wt - 1) // wt
 
     def copy(slot, ci):
         return pltpu.make_async_copy(
             pool_hbm.at[li, ci, pl.ds(h0, hpb)], buf.at[slot], sems.at[slot])
 
+    def wcopy(slot, wi, which):
+        src = (kw_hbm, vw_hbm)[which]
+        return pltpu.make_async_copy(
+            src.at[li, pl.ds(h0, hpb), pl.ds(wi * wt, wt)],
+            wbuf.at[slot, which], wsems.at[slot, which])
+
     m_ref[:] = jnp.full(m_ref.shape, -1e30, jnp.float32)
     l_ref[:] = jnp.zeros(l_ref.shape, jnp.float32)
     acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+    if want_probs:
+        ws_ref[:] = jnp.full(ws_ref.shape, -1e30, jnp.float32)
 
     @pl.when(nc_max > 0)
     def _():
         copy(0, 0).start()
+
+    @pl.when((nc_max == 0) & (n_wtiles > 0))
+    def _():
+        wcopy(0, 0, 0).start()
+        wcopy(0, 0, 1).start()
 
     q_all = q_ref[:].reshape(HG, D)
     hrow_q = jax.lax.broadcasted_iota(jnp.int32, (HG, HC), 0) // G8
@@ -368,12 +430,33 @@ def _q_ps_kernel(scalars_ref, pool_hbm, ks_ref, vs_ref, q_ref, out_ref,
             low_col = low_col + jnp.where(
                 hcol == j, ncs[j] * C + wls[j] - 1 - window, 0)
 
+    def online(s, vmat, vs_hg=None):
+        m_old = m_ref[:].reshape(HG, 128)
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new[:, :1])
+        corr = jnp.exp(m_old - m_new)
+        l_ref[:] = (l_ref[:].reshape(HG, 128) * corr
+                    + jnp.sum(p, axis=-1, keepdims=True)).reshape(l_ref.shape)
+        pv = jax.lax.dot_general(p.astype(jnp.bfloat16), vmat,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if vs_hg is not None:
+            pv = pv * vs_hg
+        acc_ref[:] = (acc_ref[:].reshape(HG, D) * corr[:, :D]
+                      + pv).reshape(acc_ref.shape)
+        m_ref[:] = m_new.reshape(m_ref.shape)
+
     def chunk_body(ci, _):
         slot = ci % 2
 
         @pl.when(ci + 1 < nc_max)
         def _():
             copy((ci + 1) % 2, ci + 1).start()
+
+        @pl.when((ci + 1 == nc_max) & (n_wtiles > 0))
+        def _():
+            wcopy(0, 0, 0).start()
+            wcopy(0, 0, 1).start()
 
         copy(slot, ci).wait()
         kd = _unpack(buf[slot][:, :KR, :], codec.kbits).reshape(HC, D)
@@ -385,61 +468,95 @@ def _q_ps_kernel(scalars_ref, pool_hbm, ks_ref, vs_ref, q_ref, out_ref,
         if window is not None:
             mask = mask & ((ci * C + tcol) > low_col)
         s = jnp.where(mask, s, -1e30)
-        m_old = m_ref[:].reshape(HG, 128)
-        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new[:, :1])
-        corr = jnp.exp(m_old - m_new)
-        l_ref[:] = (l_ref[:].reshape(HG, 128) * corr
-                    + jnp.sum(p, axis=-1, keepdims=True)).reshape(l_ref.shape)
-        pv = jax.lax.dot_general(p.astype(jnp.bfloat16), vd,
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        pv = pv * _bcast_heads(vs_ref[0, ci], hpb, G8)
-        acc_ref[:] = (acc_ref[:].reshape(HG, D) * corr[:, :D]
-                      + pv).reshape(acc_ref.shape)
-        m_ref[:] = m_new.reshape(m_ref.shape)
+        online(s, vd, _bcast_heads(vs_ref[0, ci], hpb, G8))
         return 0
 
     jax.lax.fori_loop(0, nc_max, chunk_body, 0)
-    out_ref[:] = acc_ref[:]
+
+    # per-head dynamic-length window tiles (static unroll; see v6ps)
+    whq = jax.lax.broadcasted_iota(jnp.int32, (HG, HW), 0) // G8
+    whk = jax.lax.broadcasted_iota(jnp.int32, (HG, HW), 1) // wt
+    wpos_c = jax.lax.broadcasted_iota(jnp.int32, (HG, HW), 1) % wt
+    wblk = whq == whk
+    hcol_w = jax.lax.broadcasted_iota(jnp.int32, (1, HW), 1) // wt
+    wl_col = jnp.zeros((1, HW), jnp.int32)
+    for j in range(hpb):
+        wl_col = wl_col + jnp.where(hcol_w == j, wls[j], 0)
+
+    for wi in range(NW):
+        @pl.when(wi < n_wtiles)
+        def _(wi=wi):
+            if wi + 1 < NW:   # static guard: the copy is CONSTRUCTED at
+                # trace time even under pl.when; wi+1 == NW is out of bounds
+                @pl.when(wi + 1 < n_wtiles)
+                def _():
+                    wcopy((wi + 1) % 2, wi + 1, 0).start()
+                    wcopy((wi + 1) % 2, wi + 1, 1).start()
+
+            wcopy(wi % 2, wi, 0).wait()
+            wcopy(wi % 2, wi, 1).wait()
+            kw_all = wbuf[wi % 2, 0].reshape(HW, D)
+            vw_all = wbuf[wi % 2, 1].reshape(HW, D)
+            s = jax.lax.dot_general(q_all, kw_all, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            s = jnp.where(wblk & ((wi * wt + wpos_c) < wl_col), s, -1e30)
+            if want_probs:
+                ws_ref[wi] = s
+            online(s, vw_all)
+
+    l1 = jnp.maximum(l_ref[:].reshape(HG, 128)[:, :1], 1e-30)
+    out_ref[:] = (acc_ref[:].reshape(HG, D) / l1).reshape(out_ref.shape)
     m_out[:] = m_ref[:, :, :1]
     l_out[:] = l_ref[:, :, :1]
+    if want_probs:
+        _probs_epilogue(probs_ref, ws_ref, m_ref[:].reshape(HG, 128)[:, :1],
+                        l1, NW, hpb, G8, gsize, wt)
 
 
 def fused_q_decode_attention_ps(q, kv_pool, kscales, vscales, k_win, v_win,
                                 n_chunks, win_len, codec: QuantCodec,
                                 max_chunks: int, li=None, hpb: int = 16,
-                                window: int | None = None,
+                                wt: int = 96, window: int | None = None,
                                 return_win_probs: bool = False):
     """Per-slot decode over quantized pools: n_chunks/win_len are [B] vectors
-    (continuous batching).  Pool partials in-kernel; window part in XLA
-    (same split as sparse_attention.fused_sparse_decode_attention_v6ps).
+    (continuous batching).  Pools AND the dense residual window stream
+    in-kernel with per-head window trip counts (same structure as
+    sparse_attention.fused_sparse_decode_attention_v6ps); any Hkv.
 
     ``return_win_probs``: also return the post-softmax weights of the window
-    columns, folded over the query group — [B, Hkv, Wcap] fp32 (Opa scoring;
-    the window part already runs in XLA here, so the probs are free).
+    columns, folded over the query group — [B, Hkv, Wcap] fp32 (Opa scoring),
+    computed in-kernel from the streamed window tiles.
 
-    kv_pool/kscales/vscales: stacked [L, mc, BH, ...] with li an int32 layer
-    index (production path — no per-layer pool slice is materialized), or
-    per-layer [mc, BH, ...] with li=None.  k_win/v_win [B, Hkv, Wcap, D]."""
+    Stacked form (production): kv_pool/kscales/vscales [L, mc, BH, ...],
+    k_win/v_win [L, BH, Wcap, D], li an int32 layer index — no per-layer
+    slice is materialized.  Per-layer form (li=None): pool [mc, BH, ...],
+    k_win/v_win [B, Hkv, Wcap, D]."""
     B, _, Hq, D = q.shape
-    Hkv = k_win.shape[1]
+    RQ = codec.stream_rows
+    if li is None:
+        Hkv = k_win.shape[1]
+        BH = B * Hkv
+        kv_pool = kv_pool[None]
+        kscales, vscales = kscales[None], vscales[None]
+        k_win = k_win.reshape(BH, *k_win.shape[2:])[None]
+        v_win = v_win.reshape(BH, *v_win.shape[2:])[None]
+        li = jnp.int32(0)
+    else:
+        BH = k_win.shape[1]
+        Hkv = BH // B
+    k_win = k_win.astype(jnp.bfloat16)
+    v_win = v_win.astype(jnp.bfloat16)
     W = k_win.shape[2]
     G = Hq // Hkv
     G8 = max(8, G)
-    BH = B * Hkv
-    hpb = min(hpb, BH)
-    while BH % hpb:
-        hpb //= 2
+    hpb = _pick_hpb(BH, hpb, align8=True)
     NB = BH // hpb
-    RQ = codec.stream_rows
-    if li is None:
-        kv_pool = kv_pool[None]
-        kscales, vscales = kscales[None], vscales[None]
-        li = jnp.int32(0)
     L = kv_pool.shape[0]
     assert kv_pool.shape == (L, max_chunks, BH, RQ, 128), kv_pool.shape
     assert n_chunks.shape == (B,) and win_len.shape == (B,)
+    wt = _window_tile(W, wt)
+    NW = W // wt
+    HG = hpb * G8
 
     qg = q[:, 0].reshape(B, Hkv, G, D)
     qpad = jnp.pad(qg.reshape(BH, G, D), ((0, 0), (0, G8 - G), (0, 0)))
@@ -449,67 +566,57 @@ def fused_q_decode_attention_ps(q, kv_pool, kscales, vscales, k_win, v_win,
                                win_len.astype(jnp.int32),
                                jnp.asarray(li, jnp.int32)[None]])
     sspec = pl.BlockSpec((1, max_chunks, hpb, D),
-                         lambda b, sref: (sref[2 * B], 0, b, 0),
+                         lambda b, sref, _B=B: (sref[2 * _B], 0, b, 0),
                          memory_space=pltpu.VMEM)
+    out_specs = [pl.BlockSpec((hpb, G8, D), lambda b, sref: (b, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((hpb, G8, 1), lambda b, sref: (b, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((hpb, G8, 1), lambda b, sref: (b, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((BH, G8, D), jnp.float32),
+                 jax.ShapeDtypeStruct((BH, G8, 1), jnp.float32),
+                 jax.ShapeDtypeStruct((BH, G8, 1), jnp.float32)]
+    scratch = [
+        pltpu.VMEM((2, hpb, RQ, 128), jnp.int16),
+        pltpu.VMEM((2, 2, hpb, wt, D), jnp.bfloat16),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.VMEM((hpb, G8, 128), jnp.float32),
+        pltpu.VMEM((hpb, G8, 128), jnp.float32),
+        pltpu.VMEM((hpb, G8, D), jnp.float32),
+    ]
+    if return_win_probs:
+        out_specs.append(pl.BlockSpec((1, NW, hpb, wt),
+                                      lambda b, sref: (b, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((NB, NW, hpb, wt), jnp.float32))
+        scratch.append(pltpu.VMEM((NW, HG, hpb * wt), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NB,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), sspec, sspec,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  sspec, sspec,
                   pl.BlockSpec((hpb, G8, D), lambda b, sref: (b, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((hpb, G8, D), lambda b, sref: (b, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((hpb, G8, 1), lambda b, sref: (b, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((hpb, G8, 1), lambda b, sref: (b, 0, 0),
-                                memory_space=pltpu.VMEM)),
-        scratch_shapes=[
-            pltpu.VMEM((2, hpb, RQ, 128), jnp.int16),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((hpb, G8, 128), jnp.float32),
-            pltpu.VMEM((hpb, G8, 128), jnp.float32),
-            pltpu.VMEM((hpb, G8, D), jnp.float32),
-        ],
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
     )
-    acc, m_c, l_c = pl.pallas_call(
+    res = pl.pallas_call(
         functools.partial(_q_ps_kernel, codec=codec, hpb=hpb, hkv=Hkv,
-                          nslots=B, scale=float(1.0 / np.sqrt(D)),
-                          window=window),
+                          nslots=B, NW=NW, wt=wt, gsize=G,
+                          scale=float(1.0 / np.sqrt(D)),
+                          window=window, want_probs=return_win_probs),
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((BH, G8, D), jnp.float32),
-                   jax.ShapeDtypeStruct((BH, G8, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((BH, G8, 1), jnp.float32)),
+        out_shape=tuple(out_shape),
         interpret=_interpret(),
-    )(scalars, kv_pool, kscales, vscales, qb)
-
-    kw = k_win.reshape(BH, W, D)
-    vw = v_win.reshape(BH, W, D)
-    scale = 1.0 / jnp.sqrt(jnp.float32(D))
-    wl_bh = jnp.repeat(win_len, Hkv)                             # [BH]
-    s_w = jax.lax.dot_general(qpad.astype(jnp.float32), kw.astype(jnp.float32),
-                              (((2,), (2,)), ((0,), (0,)))) * scale
-    s_w = jnp.where(jnp.arange(W)[None, None, :] < wl_bh[:, None, None],
-                    s_w, -jnp.inf)
-    m_w = jnp.max(s_w, axis=-1, keepdims=True)
-    m_w_safe = jnp.maximum(m_w, -1e30)
-    p_w = jnp.exp(s_w - m_w_safe)
-    l_w = jnp.sum(p_w, axis=-1, keepdims=True)
-    o_w = jax.lax.dot_general(p_w.astype(jnp.bfloat16), vw.astype(jnp.bfloat16),
-                              (((2,), (1,)), ((0,), (0,))),
-                              preferred_element_type=jnp.float32)
-
-    m_tot = jnp.maximum(m_c, m_w_safe)
-    a_c = jnp.exp(m_c - m_tot)
-    a_w = jnp.exp(m_w_safe - m_tot)
-    l_tot = l_c * a_c + l_w * a_w
-    out = (acc * a_c + o_w * a_w) / l_tot
-    out = out[:, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
+    )(scalars, kv_pool, k_win, v_win, kscales, vscales, qb)
+    out = res[0][:, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
     if not return_win_probs:
         return out
-    # total-softmax window probs: exp(s_w - m_tot) / l_tot, group-folded
-    p_full = p_w * (a_w / jnp.maximum(l_tot, 1e-30))         # [BH, G8, W]
-    p_win = p_full[:, :G].sum(axis=1).reshape(B, Hkv, W)
-    return out, p_win
+    return out, _fold_probs(res[3], B, Hkv, W)
 
 
 # ---------------------------------------------------------------------------
@@ -632,9 +739,9 @@ def fused_q_segment_attention(q_seg, kv_pool, kscales, vscales, n_chunks,
     # decode kernels (8-aligned offsets), keep the dynamic chunk index on the
     # untiled leading dim, and one-hot-select this grid step's head row
     # in-register inside the kernel.
-    hpb = 8 if BH % 8 == 0 else BH
+    hpb = _pick_hpb(BH, 8, align8=True)
     sspec = pl.BlockSpec((1, max_chunks, hpb, D),
-                         lambda b, sref: (sref[2], 0, b // hpb, 0),
+                         lambda b, sref, _h=hpb: (sref[2], 0, b // _h, 0),
                          memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -115,15 +115,15 @@ def shard_headlocal_attend(fn, mesh: Mesh, per_slot: bool = False,
     per-head compressed streams never communicate), so no collectives appear
     inside attention; GSPMD handles the surrounding projections.
 
-    stacked: the production decode path — the pool (and quant scales) are
-    the WHOLE stacked [L, mc, B, Hkv, ...] state plus an int32 layer index
-    ``li``; uniform-batch windows are stacked [L, B, Hkv, W, D] too, while
-    per-slot windows are per-layer [B, Hkv, W, D] (the v6ps/q_ps wrappers
-    compute the window part in XLA).  Non-stacked: per-layer 6-D pool
-    [mc, B, Hkv, ROWS, 128] and per-layer windows.  fn reshapes its local
-    block to the kernel's b-major [.., BH', ..] view.  per_slot:
+    stacked: the production decode path — the pool (and quant scales) and
+    the windows are the WHOLE stacked [L, ...] state plus an int32 layer
+    index ``li``; the kernels DMA at li directly (uniform AND per-slot —
+    both consume the dense window in-kernel).  Non-stacked: per-layer 6-D
+    pool [mc, B, Hkv, ROWS, 128] and per-layer windows.  fn reshapes its
+    local block to the kernel's b-major [.., BH', ..] view.  per_slot:
     n_chunks/win_len are [B] vectors sharded over "data" (continuous
-    batching).  quant: fn takes the scales state right after the pool.
+    batching).  quant: fn takes the scales state right after the pool
+    (the q8/q8q4/q4q4 codecs AND the bitmap-q8 capacity codec).
 
     extra_out: Opa decode scoring needs per-(batch, kv-head) softmax state
     back from the kernel — "norm" for the (out, m, l) triple (m/l
@@ -135,7 +135,7 @@ def shard_headlocal_attend(fn, mesh: Mesh, per_slot: bool = False,
     qspec = P("data", None, "model", None)
     wspec4 = P("data", "model", None, None)          # per-layer [B,Hkv,W,D]
     wspec5 = P(None, "data", "model", None, None)    # stacked [L,B,Hkv,W,D]
-    wspec = wspec5 if (stacked and not per_slot) else wspec4
+    wspec = wspec5 if stacked else wspec4
     if stacked:
         pool = P(None, None, "data", "model", None, None)
         extra = (P(None, None, "data", "model", None, None),) if quant else ()

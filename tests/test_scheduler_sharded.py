@@ -42,7 +42,8 @@ def _drive(eng, params, mesh):
 
 
 @pytest.mark.parametrize("mode,codec", [
-    (CacheMode.COMPRESSED, "q8q4"), (CacheMode.MASKED, "bitmap")])
+    (CacheMode.COMPRESSED, "q8q4"), (CacheMode.MASKED, "bitmap"),
+    (CacheMode.COMPRESSED, "bitmap-q8")])
 def test_continuous_batching_sharded_matches_single_device(mode, codec):
     assert len(jax.devices()) >= 8
     cfg, params = load_ckpt(CKPT)
