@@ -133,7 +133,7 @@ def cmd_train_tiny(args):
     from mustafar_tpu.harness import tinylm
     tinylm.train(args.out, steps=args.steps, batch=args.batch, seq=args.seq,
                  lr=args.lr, seed=args.seed, hidden=args.hidden,
-                 layers=args.layers)
+                 layers=args.layers, window=args.window)
     print(f"checkpoint written to {args.out}")
 
 
@@ -193,6 +193,8 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--hidden", type=int, default=None)
     p.add_argument("--layers", type=int, default=None)
+    p.add_argument("--window", type=int, default=None,
+                   help="sliding-window attention (Mistral semantics)")
     p.set_defaults(fn=cmd_train_tiny)
 
     p = sub.add_parser("synth-ckpt",

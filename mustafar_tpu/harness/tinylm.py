@@ -176,7 +176,8 @@ def make_training_batch(corpus: str, rng: np.random.RandomState,
 
 def train(out_dir: str, steps: int = 3000, batch: int = 8, seq: int = 2048,
           lr: float = 1e-3, seed: int = 0, inner: int = 25,
-          hidden: int = None, layers: int = None, log=print) -> dict:
+          hidden: int = None, layers: int = None, window: int = None,
+          log=print) -> dict:
     import optax
 
     from mustafar_tpu.models import llama
@@ -192,6 +193,13 @@ def train(out_dir: str, steps: int = 3000, batch: int = 8, seq: int = 2048,
             num_layers=layers or cfg.num_layers,
             name=f"tiny-acc-h{hidden or cfg.hidden_size}"
                  f"L{layers or cfg.num_layers}")
+    if window:
+        # Mistral-semantics model: sliding-window attention in training AND
+        # inference (lm_forward and all cache impls honor cfg.sliding_window;
+        # reference mistral_mustafar_Kt_Mag_Vt_Mag.py:983-989).  Retrieval
+        # beyond the window relies on layer-relay (receptive field ~L*W).
+        cfg = dataclasses.replace(cfg, sliding_window=window,
+                                  name=f"{cfg.name}-sw{window}")
     corpus = load_corpus(seed=seed)
     rng = np.random.RandomState(seed)
     params = llama.init_params(cfg, jax.random.PRNGKey(seed), dtype=jnp.float32)

@@ -43,12 +43,19 @@ def prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     q [B,T,Hq,D], k/v [B,T,Hkv,D] -> out [B,T,Hq,D].  Rows >= true_len
     produce garbage that callers never read (their cache rows are overwritten
-    by decode).  Falls back to masked XLA attention off-TPU or with a sliding
-    window.
+    by decode).  Sliding-window prompts longer than the window go through the
+    linear-memory banded path (the reference uses flash-attn's sliding-window
+    mask, mistral_mustafar_Kt_Mag_Vt_Mag.py:983-989); a window that covers the
+    whole prompt is vacuous (k > q - W holds for every causal pair) and runs
+    as plain causal.  Falls back to masked XLA attention off-TPU.
     """
     B, T, Hq, D = q.shape
     Hkv = k.shape[2]
-    use_flash = (jax.default_backend() == "tpu" and window is None
+    if window is not None:
+        if T > window:
+            return banded_window_prefill(q, k, v, true_len, int(window))
+        window = None
+    use_flash = (jax.default_backend() == "tpu"
                  and T >= 128 and D % 128 == 0)
     if use_flash:
         from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
@@ -69,6 +76,52 @@ def prefill_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     pos = jnp.arange(T)
     mask = causal_mask(pos, pos, true_len, window)
     return mha(q, k, v, mask)
+
+
+def banded_window_prefill(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          true_len, window: int,
+                          block: Optional[int] = None) -> jnp.ndarray:
+    """Sliding-window prefill at O(T) memory and O(T*(W+Bq)) compute.
+
+    The quadratic masked fallback materializes [B,T,Hq,T] fp32 logits — at
+    the reference's Mistral cap (31.5k prompt, config/model2maxlen.json) that
+    is ~127 GiB and cannot run.  A query block of Bq rows only attends inside
+    its (W + Bq)-key band, so each block runs exact masked attention against
+    a dynamic band slice: the band covers every unmasked key of its queries,
+    hence per-band softmax IS the true softmax (no partial merging needed).
+    Blocks are sequenced with lax.map, bounding the peak temp to one band's
+    [B,Bq,Hq,W+Bq] fp32 logits.  All-matmul inner math keeps the MXU fed.
+    """
+    B, T, Hq, D = q.shape
+    W = int(window)
+    if block is None:
+        # largest query block whose fp32 band logits stay under ~256 MiB
+        block = 128
+        for cand in (512, 256):
+            if B * cand * Hq * (W + cand) * 4 <= 256 * 2**20:
+                block = cand
+                break
+    Bq = block
+    n = -(-T // Bq)
+    Tp = n * Bq
+    qp = jnp.pad(q, ((0, 0), (0, Tp - T), (0, 0), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (W, Tp - T), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (W, Tp - T), (0, 0), (0, 0)))
+    band = W + Bq
+
+    def one(i):
+        s = i * Bq
+        qb = jax.lax.dynamic_slice_in_dim(qp, s, Bq, axis=1)
+        kb = jax.lax.dynamic_slice_in_dim(kp, s, band, axis=1)   # keys s-W..s+Bq-1
+        vb = jax.lax.dynamic_slice_in_dim(vp, s, band, axis=1)
+        qpos = s + jnp.arange(Bq)
+        kpos = s - W + jnp.arange(band)
+        m = causal_mask(qpos, kpos, true_len, W) & (kpos >= 0)[None, :]
+        return mha(qb, kb, vb, m)
+
+    out = jax.lax.map(one, jnp.arange(n))                        # [n,B,Bq,Hq,D]
+    out = jnp.swapaxes(out, 0, 1).reshape(B, Tp, Hq, D)
+    return out[:, :T]
 
 
 def attention_partials(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

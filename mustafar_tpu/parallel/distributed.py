@@ -25,13 +25,15 @@ import json
 import numpy as np
 
 
-def initialize(coordinator: str, num_processes: int, process_id: int):
+def initialize(coordinator: str, num_processes: int, process_id: int,
+               heartbeat_s: int = 100):
     """Join the jax.distributed coordination service (idempotent per process)."""
     import jax
 
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
-                               process_id=process_id)
+                               process_id=process_id,
+                               heartbeat_timeout_seconds=heartbeat_s)
 
 
 def _step_program(program: str = "masked"):
@@ -96,17 +98,13 @@ def _step_program(program: str = "masked"):
     return cfg, eng, impl, params, tokens, cache, fn
 
 
-def run_sharded_step(dp: int, tp: int, program: str = "masked"):
-    """Run the sharded step on the GLOBAL mesh (works single- or
-    multi-process).  Returns (checksum_prefill, checksum_decode, tokens)."""
+def _shard_inputs(mesh, cfg, eng, impl, params, tokens_np, cache):
+    """Place params/cache/tokens onto the global mesh per the sharding plan."""
     import jax
-    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from mustafar_tpu.parallel import sharding as sh
 
-    cfg, eng, impl, params, tokens_np, cache, fn = _step_program(program)
-    mesh = sh.make_mesh(dp, tp)
     if hasattr(impl, "mesh"):
         impl.mesh = mesh
 
@@ -122,6 +120,21 @@ def run_sharded_step(dp: int, tp: int, program: str = "masked"):
     cache = jax.tree.map(lambda x, sp: put(np.asarray(x), sp), cache, cspecs,
                          is_leaf=lambda x: isinstance(x, P))
     tokens = put(tokens_np, P("data", None))
+    return params, tokens, cache
+
+
+def run_sharded_step(dp: int, tp: int, program: str = "masked"):
+    """Run the sharded step on the GLOBAL mesh (works single- or
+    multi-process).  Returns (checksum_prefill, checksum_decode, tokens)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mustafar_tpu.parallel import sharding as sh
+
+    cfg, eng, impl, params, tokens_np, cache, fn = _step_program(program)
+    mesh = sh.make_mesh(dp, tp)
+    params, tokens, cache = _shard_inputs(mesh, cfg, eng, impl, params,
+                                          tokens_np, cache)
 
     # replicate all outputs so every process can fetch them (the token vector
     # is data-sharded inside the program; an out_sharding of P() all-gathers)
@@ -129,6 +142,99 @@ def run_sharded_step(dp: int, tp: int, program: str = "masked"):
     s1, s2, tok = jax.jit(fn, out_shardings=(rep, rep, rep))(
         params, tokens, cache)
     return float(s1), float(s2), np.asarray(jax.device_get(tok))
+
+
+def _barrier(name: str, timeout_ms: int):
+    """Cross-process health barrier via the coordination service.
+
+    Raises (DEADLINE_EXCEEDED / unhealthy-task error) if a peer is gone —
+    the clean failure surface: a dead process is detected BEFORE the next
+    collective is entered, instead of hanging inside it."""
+    from jax._src import distributed as jdist
+
+    client = jdist.global_state.client
+    assert client is not None, "jax.distributed not initialized"
+    client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
+
+def run_timed_decode(dp: int, tp: int, program: str = "q8q4",
+                     steps: int = 32, die_after: int | None = None,
+                     process_id: int = 0, barrier_ms: int = 15000):
+    """Timed multi-step sharded decode (the DIST_r04 measurement).
+
+    Prefills once, then runs ``steps`` single-token decode steps on the
+    global mesh, blocking and wall-timing each.  When ``die_after`` is set,
+    every step is preceded by a health barrier and process 1 exits abruptly
+    after that many steps — the surviving process must surface a CLEAN error
+    (barrier deadline), not a hang inside a collective.
+
+    Returns dict with per-step ms, checksums, and (in failure mode) how the
+    peer loss surfaced.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mustafar_tpu.models import llama
+    from mustafar_tpu.parallel import sharding as sh
+
+    cfg, eng, impl, params, tokens_np, cache, _ = _step_program(program)
+    mesh = sh.make_mesh(dp, tp)
+    params, tokens, cache = _shard_inputs(mesh, cfg, eng, impl, params,
+                                          tokens_np, cache)
+    P_len = tokens_np.shape[1]
+    rep = NamedSharding(mesh, P())
+
+    @jax.jit
+    def prefill(params, tokens, cache):
+        logits, cache = llama.prefill(cfg, params, tokens, cache, impl,
+                                      jnp.int32(P_len))
+        tok = jnp.argmax(logits[:, P_len - 1], -1).astype(jnp.int32)[:, None]
+        return jax.lax.with_sharding_constraint(tok, rep), cache
+
+    @jax.jit
+    def dec(params, tok, cache, pos):
+        logits, cache = llama.decode_step(cfg, params, tok, cache, impl, pos)
+        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+        s = jnp.sum(jnp.abs(logits.astype(jnp.float32)))
+        return (jax.lax.with_sharding_constraint(tok, rep), cache,
+                jax.lax.with_sharding_constraint(s, rep))
+
+    t0 = time.perf_counter()
+    tok, cache = jax.block_until_ready(prefill(params, tokens, cache))
+    prefill_s = time.perf_counter() - t0
+
+    failure_mode = die_after is not None
+    step_ms, csum = [], 0.0
+    result = {"program": program, "dp": dp, "tp": tp, "steps_requested": steps,
+              "prefill_s_incl_compile": round(prefill_s, 3)}
+    try:
+        for i in range(steps):
+            if failure_mode:
+                _barrier(f"dist-step-{i}", barrier_ms)
+                if process_id == 1 and i == die_after:
+                    import os
+                    os._exit(17)          # abrupt death, no shutdown handshake
+            t0 = time.perf_counter()
+            tok, cache, s = jax.block_until_ready(
+                dec(params, tok, cache, jnp.int32(P_len + i)))
+            step_ms.append((time.perf_counter() - t0) * 1e3)
+            csum = float(s)
+    except Exception as e:                                # noqa: BLE001
+        result["peer_loss_detected"] = True
+        result["error_type"] = type(e).__name__
+        result["error"] = str(e)[:400]
+    arr = np.asarray(step_ms[1:] or step_ms)             # drop compile step
+    result.update(
+        steps_done=len(step_ms), decode_checksum=csum,
+        last_tokens=np.asarray(jax.device_get(tok))[:, 0].tolist(),
+        step_ms={"mean": round(float(arr.mean()), 3) if len(arr) else None,
+                 "p50": round(float(np.percentile(arr, 50)), 3) if len(arr) else None,
+                 "p95": round(float(np.percentile(arr, 95)), 3) if len(arr) else None,
+                 "all": [round(float(x), 3) for x in step_ms]})
+    return result
 
 
 def main(argv=None):
@@ -140,13 +246,62 @@ def main(argv=None):
     ap.add_argument("--tp", type=int, default=2)
     ap.add_argument("--program", default="masked",
                     choices=["masked", "q8q4"])
+    ap.add_argument("--steps", type=int, default=0,
+                    help="timed decode steps (0 = single checksum step)")
+    ap.add_argument("--die-after", type=int, default=None,
+                    help="failure drill: process 1 exits abruptly after N "
+                         "steps; survivors must error cleanly")
+    ap.add_argument("--init-timeout", type=int, default=300,
+                    help="seconds to wait for the coordinator at startup")
+    ap.add_argument("--probe-init", action="store_true",
+                    help="only probe coordinator reachability; a dead "
+                         "coordinator surfaces as a fast process abort with "
+                         "a DEADLINE_EXCEEDED diagnostic (jax's C++ client "
+                         "LOG(FATAL)s — not a catchable exception), never "
+                         "a hang")
     ap.add_argument("--out", required=True)
     args = ap.parse_args(argv)
 
     import jax
     jax.config.update("jax_platforms", "cpu")   # axon ignores JAX_PLATFORMS
-    initialize(args.coordinator, args.num_processes, args.process_id)
+    if args.probe_init:
+        # coordinator-loss surface: initialization against a dead address
+        # must fail with a clean deadline error within --init-timeout
+        try:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+                initialization_timeout=args.init_timeout)
+            res = {"coordinator_reachable": True}
+        except Exception as e:                            # noqa: BLE001
+            res = {"coordinator_reachable": False,
+                   "error_type": type(e).__name__, "error": str(e)[:300]}
+        with open(args.out, "w") as f:
+            json.dump(res, f)
+        print(json.dumps(res), flush=True)
+        return
+    # failure drills use a tight heartbeat so peer death surfaces in ~10 s
+    # instead of the 100 s default (production keeps the default)
+    initialize(args.coordinator, args.num_processes, args.process_id,
+               heartbeat_s=10 if args.die_after is not None else 100)
     assert jax.process_count() == args.num_processes
+
+    if args.steps:
+        res = run_timed_decode(args.dp, args.tp, args.program,
+                               steps=args.steps, die_after=args.die_after,
+                               process_id=args.process_id)
+        res.update(process=args.process_id,
+                   n_processes=jax.process_count(),
+                   n_devices=len(jax.devices()),
+                   n_local=len(jax.local_devices()))
+        with open(args.out, "w") as f:
+            json.dump(res, f)
+        print(f"process {args.process_id}: {res['steps_done']} steps, "
+              f"mean {res['step_ms']['mean']} ms"
+              + (f", peer loss: {res.get('error_type')}"
+                 if res.get("peer_loss_detected") else ""), flush=True)
+        return
 
     s1, s2, tok = run_sharded_step(args.dp, args.tp, args.program)
     with open(args.out, "w") as f:
