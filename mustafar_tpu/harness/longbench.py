@@ -131,10 +131,15 @@ def scorer(dataset: str, predictions, answers, all_classes) -> float:
     metric = DATASET2METRIC[dataset]
     total = 0.0
     for prediction, ground_truths in zip(predictions, answers):
+        if not ground_truths:
+            # the reference's bare max() would throw here too
+            # (eval_long_bench.py:72) — an empty ground-truth list is
+            # malformed data, not a zero score
+            raise ValueError(f"{dataset}: row with empty ground-truth list")
         if dataset in _FIRSTLINE_DATASETS:
             prediction = prediction.lstrip("\n").split("\n")[0]
-        total += max((metric(prediction, gt, all_classes=all_classes)
-                      for gt in ground_truths), default=0.0)
+        total += max(metric(prediction, gt, all_classes=all_classes)
+                     for gt in ground_truths)
     return round(100 * total / len(predictions), 2)
 
 
@@ -143,10 +148,12 @@ def scorer_e(dataset: str, predictions, answers, lengths, all_classes) -> dict:
     metric = DATASET2METRIC[dataset]
     buckets = {"0-4k": [], "4-8k": [], "8k+": []}
     for prediction, ground_truths, length in zip(predictions, answers, lengths):
+        if not ground_truths:
+            raise ValueError(f"{dataset}: row with empty ground-truth list")
         if dataset in _FIRSTLINE_DATASETS:
             prediction = prediction.lstrip("\n").split("\n")[0]
-        score = max((metric(prediction, gt, all_classes=all_classes)
-                     for gt in ground_truths), default=0.0)
+        score = max(metric(prediction, gt, all_classes=all_classes)
+                    for gt in ground_truths)
         key = "0-4k" if length < 4000 else ("4-8k" if length < 8000 else "8k+")
         buckets[key].append(score)
     return {k: round(100 * float(np.mean(v)), 2) if v else 0.0
