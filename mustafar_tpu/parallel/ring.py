@@ -1,0 +1,186 @@
+"""Sequence-parallel (context-parallel) prefill: ring attention over a mesh axis.
+
+New capability relative to the reference, which is single-GPU and handles long
+context only by truncation + flash-attn (SURVEY.md §5 "Long-context": no ring
+attention / context parallel anywhere in the tree).  Motivation on TPU: a 32k
+admission's prefill FLOPs and activation memory land on ONE chip in the dp x tp
+layout (batch=1 occupies a single "data" shard and attention is head-local).
+Ring attention spreads the same prompt's tokens across the "data" axis instead:
+
+  * activations [B, T, H] are sharded along T — every chip works on T/n tokens
+    through norms/projections/MLP (token-parallel, GSPMD handles them);
+  * attention runs as a shard_map ring: each chip holds its Q block and passes
+    its K/V block around the ring (ppermute over ICI), accumulating
+    flash-style partials (ops.attention.attention_partials merged with the
+    standard online-softmax rule) — K/V never materialize whole anywhere;
+  * the KV cache written by prefill is sequence-sharded; one
+    with_sharding_constraint reshards it to the decode layout (batch over
+    "data", kv-heads over "model") at handoff.
+
+The ring is jax-idiomatic blockwise attention (Liu et al., Ring Attention;
+public recipe per the scaling-book): K/V rotation is issued before each
+block's compute so XLA's async collective-permute overlaps transfer with the
+matmuls.  Causality masks whole blocks from the future — their partials
+contribute (l=0, m=-inf) and merge away exactly.
+
+Composes with tensor parallelism: heads stay sharded over "model" inside the
+same shard_map (GQA folding is per-shard; tp must divide num_kv_heads, the
+same constraint as the decode path).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mustafar_tpu.ops.attention import (NEG_INF, attention_partials,
+                                        causal_mask)
+
+_Q_TILE = 512  # per-step query tile bounding the [B, tile, Hq, Ts] partials
+
+
+def _merge_into(acc, m, l, a2, m2, l2):
+    """Online-softmax merge of running (acc, m, l) with new partials."""
+    M = jnp.maximum(m, m2)
+    s1 = jnp.exp(m - M)
+    s2 = jnp.exp(m2 - M)
+    return acc * s1 + a2 * s2, M, l * s1 + l2 * s2
+
+
+def _block_partials(q, k, v, q_pos, k_pos, true_len, window):
+    """Partials of local q against one K/V block, query-tiled to bound the
+    fp32 logits temp to [B, _Q_TILE, Hq, Ts]."""
+    B, Tq, Hq, D = q.shape
+    if Tq <= _Q_TILE or Tq % _Q_TILE:
+        mask = causal_mask(q_pos, k_pos, true_len, window)
+        return attention_partials(q, k, v, mask)
+    nt = Tq // _Q_TILE
+
+    def one(i):
+        qt = jax.lax.dynamic_slice_in_dim(q, i * _Q_TILE, _Q_TILE, axis=1)
+        qp = jax.lax.dynamic_slice_in_dim(q_pos, i * _Q_TILE, _Q_TILE, axis=0)
+        mask = causal_mask(qp, k_pos, true_len, window)
+        return attention_partials(qt, k, v, mask)
+
+    acc, m, l = jax.lax.map(one, jnp.arange(nt))   # [nt, B, tile, Hq, ...]
+    join = lambda x: jnp.swapaxes(x, 0, 1).reshape(B, Tq, *x.shape[3:])
+    return join(acc), join(m), join(l)
+
+
+def _ring_attend(q, k, v, true_len, *, axis_name: str, n_shards: int,
+                 window: Optional[int]):
+    """Per-shard ring body (inside shard_map).
+
+    q/k/v [B, Ts, H_local, D] hold this shard's token block (global tokens
+    [idx*Ts, (idx+1)*Ts)).  n_shards rotation steps; step i computes partials
+    against the block originally owned by shard (idx - i) mod n, then the
+    K/V blocks rotate one hop (issued before compute so the transfer hides
+    under the matmuls).  Returns out [B, Ts, Hq_local, D] in q.dtype.
+    """
+    B, Ts, Hq, D = q.shape
+    idx = jax.lax.axis_index(axis_name)
+    q_pos = idx * Ts + jnp.arange(Ts)
+    perm = [(j, (j + 1) % n_shards) for j in range(n_shards)]
+
+    acc = jnp.zeros((B, Ts, Hq, D), jnp.float32)
+    m = jnp.full((B, Ts, Hq, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((B, Ts, Hq, 1), jnp.float32)
+    for i in range(n_shards):
+        if i + 1 < n_shards:
+            k_nxt = jax.lax.ppermute(k, axis_name, perm)
+            v_nxt = jax.lax.ppermute(v, axis_name, perm)
+        src = (idx - i) % n_shards
+        k_pos = src * Ts + jnp.arange(Ts)
+        a2, m2, l2 = _block_partials(q, k, v, q_pos, k_pos, true_len, window)
+        acc, m, l = _merge_into(acc, m, l, a2, m2, l2)
+        if i + 1 < n_shards:
+            k, v = k_nxt, v_nxt
+    out = acc / jnp.maximum(l, 1e-30)
+    return out.astype(q.dtype)
+
+
+def ring_prefill_attention(q, k, v, true_len, mesh, seq_axis: str = "data",
+                           head_axis: Optional[str] = "model",
+                           window: Optional[int] = None):
+    """Causal prefill attention with the sequence sharded over ``seq_axis``.
+
+    q [B, T, Hq, D], k/v [B, T, Hkv, D] (global shapes; T must be divisible
+    by the axis size — llama.prefill's bucketing guarantees multiples of 128,
+    pad upstream otherwise).  Heads shard over ``head_axis`` (pass None on a
+    1-axis mesh).  Exactly matches ops.attention.prefill_attention, including
+    the Mistral sliding-window band (the band mask is position-based, so ring
+    blocks fully outside a query block's band merge away as zeros).
+    """
+    n = mesh.shape[seq_axis]
+    assert q.shape[1] % n == 0, (q.shape, n)
+    h = head_axis
+    spec = P(None, seq_axis, h, None)
+    fn = partial(_ring_attend, axis_name=seq_axis, n_shards=n,
+                 window=None if window is None else int(window))
+    return jax.shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec, P()),
+                         out_specs=spec)(q, k, v, jnp.asarray(true_len))
+
+
+class _SPPrefillImpl:
+    """Cache-impl proxy whose prefill attention runs the ring.
+
+    Pruning (prefill_prune) and the cache write are reused from the wrapped
+    impl under GSPMD: every Mag/ThinK policy is token-local along the sharded
+    axis (top-k over D, channel groups of 32), so they stay communication-free;
+    Opa prefill scoring reads the last group_size queries against all K and
+    compiles to the collectives GSPMD inserts.
+    """
+
+    def __init__(self, impl, mesh, seq_axis: str, head_axis: Optional[str]):
+        self._impl = impl
+        self._mesh = mesh
+        self._seq_axis = seq_axis
+        self._head_axis = head_axis
+
+    def __getattr__(self, name):
+        return getattr(self._impl, name)
+
+    def prefill_attend(self, lc, q, k, v, true_len):
+        out = ring_prefill_attention(q, k, v, true_len, self._mesh,
+                                     self._seq_axis, self._head_axis,
+                                     self._impl.window)
+        k_store, v_store = self._impl.prefill_prune(q, k, v, out, true_len)
+        lc = dict(lc)
+        lc["k"] = jax.lax.dynamic_update_slice_in_dim(
+            lc["k"], k_store.astype(lc["k"].dtype), 0, axis=1)
+        lc["v"] = jax.lax.dynamic_update_slice_in_dim(
+            lc["v"], v_store.astype(lc["v"].dtype), 0, axis=1)
+        return out, lc
+
+
+def sp_prefill(cfg, params, tokens, cache, cache_impl, true_len, mesh,
+               seq_axis: str = "data", head_axis: Optional[str] = "model",
+               last_only: bool = False):
+    """Sequence-parallel monolithic prefill over the dense/masked caches.
+
+    Drop-in for models.llama.prefill when one long prompt should use the
+    whole mesh: activations are sharded along T (GSPMD runs every token-local
+    op on T/n tokens per chip), attention rides the ring, and the returned
+    cache is sequence-sharded — pass it through ``reshard_cache`` before
+    decode.  Works under jit; tokens [B, T] with T % axis_size == 0.
+    """
+    from mustafar_tpu.models import llama
+
+    sp = NamedSharding(mesh, P(None, seq_axis))
+    tokens = jax.lax.with_sharding_constraint(tokens, sp)
+    impl = _SPPrefillImpl(cache_impl, mesh, seq_axis, head_axis)
+    return llama.prefill(cfg, params, tokens, cache, impl, true_len,
+                         last_only=last_only)
+
+
+def reshard_cache(cache, specs, mesh):
+    """Reshard a (sequence-sharded) prefill cache to the decode layout given
+    by parallel.sharding.cache_specs — one all-to-all per leaf, inside jit."""
+    return jax.tree.map(
+        lambda x, s: jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, s)), cache, specs,
+        is_leaf=lambda x: isinstance(x, P))
