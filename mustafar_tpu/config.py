@@ -121,6 +121,12 @@ class ModelConfig:
     sliding_window: Optional[int] = None  # Mistral sliding-window attention
     tie_word_embeddings: bool = False
     dtype: str = "bfloat16"
+    # Mixtral-style sparse MoE MLP (0 = dense MLP).  Beyond-reference: the
+    # reference covers only dense models; this exists so expert parallelism
+    # is a first-class sharding axis (models/moe.py, docs/SCALING.md).
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+    expert_capacity_factor: float = 2.0
 
     @property
     def q_dim(self) -> int:
@@ -159,6 +165,11 @@ MISTRAL_7B = ModelConfig(
 )
 
 MISTRAL_7B_SWA = dataclasses.replace(MISTRAL_7B, name="mistral-7b-swa", sliding_window=4096)
+
+# Mixtral-8x7B geometry (beyond-reference MoE family; Mistral attention
+# geometry + 8-expert sparse MLP, top-2 routing).
+MIXTRAL_8X7B = dataclasses.replace(
+    MISTRAL_7B, name="mixtral-8x7b", num_experts=8, num_experts_per_tok=2)
 
 # Small configs for tests and single-chip benches.
 TINY_LLAMA = ModelConfig(

@@ -59,6 +59,11 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict:
         },
         "final_norm": jnp.ones((H,), dtype),
     }
+    if cfg.num_experts:
+        from mustafar_tpu.models.moe import init_moe_params
+        for name in ("w_gate", "w_up", "w_down"):
+            del params["layers"][name]
+        params["layers"].update(init_moe_params(cfg, next(k), dtype))
     if not cfg.tie_word_embeddings:
         params["lm_head"] = w(next(k), H, cfg.vocab_size, scale=0.02)
     return params
@@ -100,7 +105,11 @@ def _layer(cfg: ModelConfig, lp: dict, x: jnp.ndarray, cos, sin, attend_fn, lc):
     attn_out, lc = attend_fn(lc, q, kk, vv)
     x = x + proj(attn_out.reshape(B, T, cfg.q_dim), lp, "wo")
     h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-    x = x + _mlp(lp, h)
+    if "w_router" in lp:                       # Mixtral-style sparse MoE MLP
+        from mustafar_tpu.models.moe import moe_mlp
+        x = x + moe_mlp(cfg, lp, h)
+    else:
+        x = x + _mlp(lp, h)
     return x, lc
 
 

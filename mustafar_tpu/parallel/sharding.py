@@ -60,6 +60,14 @@ def param_specs(cfg: ModelConfig) -> dict:
             "w_gate_scale": P(None, "model"),
             "w_up_scale": P(None, "model"),
             "w_down_scale": P(None, None),
+            # Mixtral-style MoE leaves (models/moe.py): EXPERT parallelism —
+            # the expert axis shards over "model" (each shard owns E/tp
+            # experts' weights and their slot compute; GSPMD inserts the
+            # dispatch/combine collectives).  Router replicated.
+            "w_router": P(None, None, None),
+            "we_gate": P(None, "model", None, None),
+            "we_up": P(None, "model", None, None),
+            "we_down": P(None, "model", None, None),
         },
         "final_norm": P(None,),
         "lm_head": P(None, "model"),
