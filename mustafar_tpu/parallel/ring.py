@@ -145,16 +145,34 @@ class _SPPrefillImpl:
         return getattr(self._impl, name)
 
     def prefill_attend(self, lc, q, k, v, true_len):
+        # pin the SP layout on both sides of the prune: GSPMD's propagation
+        # otherwise leaves the pruned K/V on an ambiguous placement and pays
+        # an in-loop all-to-all at the where-merge (measured, scheduled HLO)
+        pin = lambda x: jax.lax.with_sharding_constraint(
+            x, NamedSharding(self._mesh,
+                             P(None, self._seq_axis, self._head_axis, None)))
+        q, k, v = pin(q), pin(k), pin(v)
         out = ring_prefill_attention(q, k, v, true_len, self._mesh,
                                      self._seq_axis, self._head_axis,
                                      self._impl.window)
         k_store, v_store = self._impl.prefill_prune(q, k, v, out, true_len)
         lc = dict(lc)
         lc["k"] = jax.lax.dynamic_update_slice_in_dim(
-            lc["k"], k_store.astype(lc["k"].dtype), 0, axis=1)
+            lc["k"], pin(k_store).astype(lc["k"].dtype), 0, axis=1)
         lc["v"] = jax.lax.dynamic_update_slice_in_dim(
-            lc["v"], v_store.astype(lc["v"].dtype), 0, axis=1)
+            lc["v"], pin(v_store).astype(lc["v"].dtype), 0, axis=1)
         return out, lc
+
+
+def sp_cache_specs(cache: dict, seq_axis: str = "data",
+                   head_axis: Optional[str] = "model") -> dict:
+    """PartitionSpecs for the dense/masked cache DURING an SP prefill: the
+    token axis S shards over ``seq_axis`` so the per-layer K/V writes stay
+    local (with the decode layout — batch over data — GSPMD would pay an
+    all-to-all per layer per buffer; measured via
+    benchmarks/analyze_sp_collectives.py).  Reshard to
+    parallel.sharding.cache_specs once, at the decode handoff."""
+    return {k: P(None, None, seq_axis, head_axis, None) for k in cache}
 
 
 def sp_prefill(cfg, params, tokens, cache, cache_impl, true_len, mesh,
@@ -164,17 +182,50 @@ def sp_prefill(cfg, params, tokens, cache, cache_impl, true_len, mesh,
 
     Drop-in for models.llama.prefill when one long prompt should use the
     whole mesh: activations are sharded along T (GSPMD runs every token-local
-    op on T/n tokens per chip), attention rides the ring, and the returned
-    cache is sequence-sharded — pass it through ``reshard_cache`` before
-    decode.  Works under jit; tokens [B, T] with T % axis_size == 0.
+    op on T/n tokens per chip) and attention rides the ring.  ``cache`` is
+    the caller's decode-layout cache; the returned cache is the same layout
+    with the prompt's rows filled — no separate reshard step.
+
+    Collective structure (verified on scheduled HLO,
+    benchmarks/analyze_sp_collectives.py): prefill runs on an S=T-sized
+    sequence-sharded VIEW of the cache, so every per-layer K/V write is a
+    full-extent local overwrite (a DUS into the S_max cache would straddle
+    misaligned shard boundaries and all-gather per layer — measured); the
+    single handoff at the end is one all-to-all per K/V buffer plus one
+    local splice.  Works under jit; tokens [B, T] with T % axis_size == 0.
     """
     from mustafar_tpu.models import llama
 
+    T = tokens.shape[1]
     sp = NamedSharding(mesh, P(None, seq_axis))
     tokens = jax.lax.with_sharding_constraint(tokens, sp)
+    # S=T prefill view, sequence-sharded (cache leaves are [L, B, S, Hkv, D])
+    pre = {k: v[:, :, :T] for k, v in cache.items()}
+    pre = reshard_cache(pre, sp_cache_specs(pre, seq_axis, head_axis), mesh)
     impl = _SPPrefillImpl(cache_impl, mesh, seq_axis, head_axis)
-    return llama.prefill(cfg, params, tokens, cache, impl, true_len,
-                         last_only=last_only)
+    # the token-segmented MLP exists to bound the [B, T, I] temp on ONE chip
+    # (llama._MLP_SEG); under SP that temp is already split T/n ways, and the
+    # reshape through (n_seg, seg) blocks GSPMD's T-sharding propagation
+    # (measured: one [B, T, H] all-gather per layer) — bypass it.
+    seg = llama._MLP_SEG
+    llama._MLP_SEG = 1 << 30
+    try:
+        logits, pre = llama.prefill(cfg, params, tokens, pre, impl, true_len,
+                                    last_only=last_only)
+    finally:
+        llama._MLP_SEG = seg
+    # handoff: reshard the filled T rows to the caller's layout, splice in
+    dspecs = {k: _leaf_spec_like(cache[k]) for k in cache}
+    pre = reshard_cache(pre, dspecs, mesh)
+    cache = {k: jax.lax.dynamic_update_slice_in_dim(
+        cache[k], pre[k].astype(cache[k].dtype), 0, axis=2) for k in cache}
+    return logits, cache
+
+
+def _leaf_spec_like(leaf) -> P:
+    """Decode-layout spec of a dense/masked cache leaf [L, B, S, Hkv, D]
+    (parallel.sharding.cache_specs without needing the EngineConfig)."""
+    return P(None, "data", None, "model", None)
 
 
 def reshard_cache(cache, specs, mesh):

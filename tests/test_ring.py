@@ -82,7 +82,6 @@ def _sp_then_decode(eng, mesh, tokens, true_len, n_decode=3):
         logits, cache = ring.sp_prefill(cfg, params, tokens, cache, impl,
                                         jnp.int32(true_len), mesh,
                                         last_only=True)
-        cache = ring.reshard_cache(cache, cspecs, mesh)
         outs = [logits[:, -1]]
         tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
         for i in range(n_decode):
