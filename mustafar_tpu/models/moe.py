@@ -61,11 +61,20 @@ def moe_mlp(cfg: ModelConfig, lp: dict, x: jnp.ndarray) -> jnp.ndarray:
     disp = (sel[..., None] * jax.nn.one_hot(pos, C, dtype=jnp.int32))
     dispf = disp.astype(x.dtype)
 
+    def edot(v, name, spec):
+        """Batched expert einsum, dequantizing W8 experts on the fly: the
+        astype + per-(expert, out-channel) scale fuse into the dot operand
+        read exactly like quant.proj's 2-D pattern (models/quant.py)."""
+        w = lp[name]
+        y = jnp.einsum(spec, v, w.astype(v.dtype))
+        if w.dtype == jnp.int8:
+            y = y * lp[name + "_scale"].astype(v.dtype)[:, None, :]
+        return y
+
     xe = jnp.einsum("nec,nh->ech", dispf, xf)             # gather to slots
-    hg = jax.nn.silu(jnp.einsum("ech,ehi->eci", xe,
-                                lp["we_gate"].astype(xe.dtype)))
-    hu = jnp.einsum("ech,ehi->eci", xe, lp["we_up"].astype(xe.dtype))
-    ye = jnp.einsum("eci,eih->ech", hg * hu, lp["we_down"].astype(xe.dtype))
+    hg = jax.nn.silu(edot(xe, "we_gate", "ech,ehi->eci"))
+    hu = edot(xe, "we_up", "ech,ehi->eci")
+    ye = edot(hg * hu, "we_down", "eci,eih->ech")
 
     gne = jnp.einsum("nk,nke->ne", g, oh.astype(jnp.float32))   # gate per (n,e)
     comb = dispf.astype(jnp.float32) * gne[..., None]

@@ -30,6 +30,13 @@ import jax.numpy as jnp
 # params keys quantized per output channel (axis -1); stacked leaves keep
 # their leading layer axis.
 _LAYER_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+# Mixtral MoE expert leaves ([L, E, in, out] — models/moe.py): quantized per
+# (expert, out-channel).  They stay int8 even under W4 serving: the batched
+# expert einsum has no stacked-carrier Pallas path, and the XLA-level nibble
+# unpack would materialize the dequantized copy (slower than the int8 dot —
+# CLAUDE.md weight microbench).  The router stays bf16 (H x E is tiny and
+# routing logits are precision-sensitive).
+_MOE_KEYS = ("we_gate", "we_up", "we_down")
 
 
 def _quant_last(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -115,7 +122,7 @@ def quantize_params(params: dict, donate: bool = False) -> dict:
     qr = jax.jit(_quant_rows, donate_argnums=(0,) if donate else ())
     out = dict(params)
     layers = dict(params["layers"])
-    for name in _LAYER_KEYS:
+    for name in _LAYER_KEYS + _MOE_KEYS:
         w = layers.get(name)
         if w is None or w.dtype == jnp.int8:
             continue
@@ -218,6 +225,13 @@ def quantize_params_w4(params: dict, donate: bool = False) -> dict:
             continue
         assert w.shape[-2] % 128 == 0, (name, w.shape)
         q, s = q4(w)
+        layers[name] = q
+        layers[name + "_scale"] = s
+    for name in _MOE_KEYS:  # experts stay int8 under W4 (see _MOE_KEYS)
+        w = layers.get(name)
+        if w is None or w.dtype == jnp.int8:
+            continue
+        q, s = q8(w)
         layers[name] = q
         layers[name + "_scale"] = s
     out["layers"] = layers

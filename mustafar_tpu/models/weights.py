@@ -27,6 +27,8 @@ def config_from_hf(hf_cfg) -> ModelConfig:
         rope_scaling = dict(rope_scaling)
     return ModelConfig(
         name=str(get("model_type", "llama")),
+        num_experts=get("num_local_experts", 0) or 0,
+        num_experts_per_tok=get("num_experts_per_tok", 2) or 2,
         vocab_size=get("vocab_size"),
         hidden_size=get("hidden_size"),
         intermediate_size=get("intermediate_size"),
@@ -59,8 +61,14 @@ def params_from_state_dict(cfg: ModelConfig, sd: dict, dtype=jnp.bfloat16) -> di
 
     L = cfg.num_layers
     pre = "model."
-    layers = {"wq": [], "wk": [], "wv": [], "wo": [], "attn_norm": [],
-              "mlp_norm": [], "w_gate": [], "w_up": [], "w_down": []}
+    # Mixtral checkpoints replace the dense MLP with block_sparse_moe:
+    # gate [E,H] (router), experts.{e}.{w1=gate, w3=up} [I,H], w2 (down)
+    # [H,I] — converted to our layer-stacked MoE leaves (models/moe.py).
+    moe = f"{pre}layers.0.block_sparse_moe.gate.weight" in sd
+    mlp_keys = (["w_router", "we_gate", "we_up", "we_down"] if moe
+                else ["w_gate", "w_up", "w_down"])
+    layers = {k: [] for k in ["wq", "wk", "wv", "wo", "attn_norm",
+                              "mlp_norm"] + mlp_keys}
     for i in range(L):
         p = f"{pre}layers.{i}."
         layers["attn_norm"].append(tonp(sd[p + "input_layernorm.weight"]))
@@ -69,9 +77,18 @@ def params_from_state_dict(cfg: ModelConfig, sd: dict, dtype=jnp.bfloat16) -> di
         layers["wv"].append(tonp(sd[p + "self_attn.v_proj.weight"]).T)
         layers["wo"].append(tonp(sd[p + "self_attn.o_proj.weight"]).T)
         layers["mlp_norm"].append(tonp(sd[p + "post_attention_layernorm.weight"]))
-        layers["w_gate"].append(tonp(sd[p + "mlp.gate_proj.weight"]).T)
-        layers["w_up"].append(tonp(sd[p + "mlp.up_proj.weight"]).T)
-        layers["w_down"].append(tonp(sd[p + "mlp.down_proj.weight"]).T)
+        if moe:
+            m = p + "block_sparse_moe."
+            layers["w_router"].append(tonp(sd[m + "gate.weight"]).T)
+            ex = lambda w: _stack([tonp(sd[f"{m}experts.{e}.{w}.weight"]).T
+                                   for e in range(cfg.num_experts)])
+            layers["we_gate"].append(ex("w1"))
+            layers["we_up"].append(ex("w3"))
+            layers["we_down"].append(ex("w2"))
+        else:
+            layers["w_gate"].append(tonp(sd[p + "mlp.gate_proj.weight"]).T)
+            layers["w_up"].append(tonp(sd[p + "mlp.up_proj.weight"]).T)
+            layers["w_down"].append(tonp(sd[p + "mlp.down_proj.weight"]).T)
 
     params = {
         "embed": jnp.asarray(tonp(sd[pre + "embed_tokens.weight"]), dtype),

@@ -68,6 +68,10 @@ def param_specs(cfg: ModelConfig) -> dict:
             "we_gate": P(None, "model", None, None),
             "we_up": P(None, "model", None, None),
             "we_down": P(None, "model", None, None),
+            # W8 expert scales [L, E, out] follow their weight's expert axis
+            "we_gate_scale": P(None, "model", None),
+            "we_up_scale": P(None, "model", None),
+            "we_down_scale": P(None, "model", None),
         },
         "final_norm": P(None,),
         "lm_head": P(None, "model"),
