@@ -18,11 +18,17 @@ micro-batching — SURVEY.md §2.6).  TPU-native design:
     dense/masked cache impls plug in through their per-layer attend
     protocol, so every pruning variant works under PP unchanged.
 
-Scope: PP is a pure "stage"-axis program (tensor parallelism inside a stage
-would need manual collectives inside the shard_map; dp x tp composition is
-the production layout — parallel/sharding.py).  On one host this validates
-the program structure; the real win (serving models deeper than one chip's
-HBM) needs multi-chip hardware, like every scaling claim in docs/SCALING.md.
+PP x TP composition: ``stage_mesh(pp, tp)`` builds a 2-D ("stage", "model")
+mesh and the schedule's shard_map maps MANUALLY over "stage" only
+(``axis_names={"stage"}``) — "model" stays a GSPMD-auto axis, so the same
+Megatron column/row weight shardings as the flat dp x tp layout
+(parallel/sharding.param_specs) apply inside each stage and GSPMD inserts
+the per-stage TP all-reduces itself.  No manual collectives, no second
+code path: the schedule body is identical for tp=1 and tp>1.
+
+On one host this validates the program structure; the real win (serving
+models deeper than one chip's HBM) needs multi-chip hardware, like every
+scaling claim in docs/SCALING.md.
 """
 
 from __future__ import annotations
@@ -38,10 +44,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from mustafar_tpu.config import ModelConfig
 
 
-def stage_mesh(pp: int, devices=None) -> Mesh:
+def stage_mesh(pp: int, tp: int = 1, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
-    assert pp <= len(devices), (pp, len(devices))
-    return Mesh(np.asarray(devices[:pp]), ("stage",))
+    assert pp * tp <= len(devices), (pp, tp, len(devices))
+    return Mesh(np.asarray(devices[:pp * tp]).reshape(pp, tp),
+                ("stage", "model"))
 
 
 def pp_param_specs(params: dict) -> dict:
@@ -57,6 +64,38 @@ def pp_param_specs(params: dict) -> dict:
 def pp_cache_specs(cache: dict) -> dict:
     """Every cache leaf is [L, ...]: stage-sharded on the layer axis."""
     return {k: P("stage") for k in cache}
+
+
+def _drop_data(a):
+    """Remove the "data" axis from a PartitionSpec entry (PP x TP meshes
+    have no data axis; batch replicates within a stage)."""
+    if isinstance(a, tuple):
+        t = tuple(x for x in a if x != "data")
+        return t[0] if len(t) == 1 else (t or None)
+    return None if a == "data" else a
+
+
+def pp_placement_specs(cfg: ModelConfig, params: dict, cache: dict,
+                       engine=None) -> tuple[dict, dict]:
+    """Combined PP x TP placement: stage on the layer axis PLUS the flat
+    layout's Megatron "model" shardings (parallel/sharding.param_specs) on
+    the in-stage axes.  The schedule's shard_map maps manually over "stage"
+    only, so these model-axis placements are what GSPMD's auto mode
+    partitions the in-stage compute with."""
+    from mustafar_tpu.parallel import sharding as sh
+
+    base = sh.filter_specs_for(params, sh.param_specs(cfg))
+    stageify = lambda s: P("stage", *s[1:])
+    pspecs = {k: (jax.tree.map(stageify, v,
+                               is_leaf=lambda x: isinstance(x, P))
+                  if k == "layers" else v)
+              for k, v in base.items()}
+    if engine is not None:
+        cspecs = {k: P("stage", *[_drop_data(a) for a in s[1:]])
+                  for k, s in sh.cache_specs(engine, cache).items()}
+    else:
+        cspecs = pp_cache_specs(cache)
+    return pspecs, cspecs
 
 
 def _stage_layers(cfg, lp_local, cache_local, x, cos, sin, attend, mb_lo,
@@ -141,13 +180,20 @@ def _pp_apply(params, tokens, cache, aux, *, cfg: ModelConfig, impl,
 
 
 def _shard(fn, mesh, params, cache):
+    """Manual over "stage" only; any other mesh axis ("model") stays
+    GSPMD-auto, so TP inside a stage comes from the placement shardings."""
     pspecs = pp_param_specs(params)
     cspecs = pp_cache_specs(cache)
-    return jax.shard_map(
+    # jit wrapper: shard_map's EAGER path rejects auto (non-manual) mesh
+    # axes ("out_specs refers to 'model'") — under jit the same program
+    # compiles and propagates the auto-axis shardings to outputs; inside an
+    # outer jit this inner jit just inlines.
+    return jax.jit(jax.shard_map(
         fn, mesh=mesh,
         in_specs=(pspecs, P(), cspecs, P()),
         out_specs=(P(), cspecs),
-        check_vma=False)
+        axis_names={"stage"},
+        check_vma=False))
 
 
 def pp_prefill(cfg: ModelConfig, params, tokens, cache, cache_impl, true_len,
@@ -181,10 +227,18 @@ def pp_decode_step(cfg: ModelConfig, params, token, cache, cache_impl, pos,
                                            jnp.asarray(pos))
 
 
-def shard_pp(params: dict, cache: dict, mesh: Mesh):
-    """Place params/cache with the PP shardings (stage-sharded layer leaves)."""
+def shard_pp(params: dict, cache: dict, mesh: Mesh, cfg: ModelConfig = None,
+             engine=None):
+    """Place params/cache with the PP shardings (stage-sharded layer leaves).
+
+    With cfg (and optionally engine for the cache), placement also applies
+    the in-stage TP "model" shardings (pp_placement_specs) — required when
+    the mesh's "model" axis is >1, harmless at tp=1."""
     put = lambda tree, specs: jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs,
         is_leaf=lambda x: isinstance(x, P))
+    if cfg is not None:
+        pspecs, cspecs = pp_placement_specs(cfg, params, cache, engine)
+        return put(params, pspecs), put(cache, cspecs)
     return (put(params, pp_param_specs(params)),
             put(cache, pp_cache_specs(cache)))

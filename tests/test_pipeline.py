@@ -52,10 +52,12 @@ def _ref(impl, params, tokens, true_len, n_decode):
     return np.asarray(run(params, tokens, cache))
 
 
-def _pp(impl, params, tokens, true_len, n_decode, stages, n_micro):
-    mesh = pp.stage_mesh(stages)
+def _pp(impl, params, tokens, true_len, n_decode, stages, n_micro, tp=1,
+        eng=None):
+    mesh = pp.stage_mesh(stages, tp=tp)
     cache = impl.init(tokens.shape[0], jnp.float32)
-    params_s, cache = pp.shard_pp(params, cache, mesh)
+    params_s, cache = (pp.shard_pp(params, cache, mesh, cfg=CFG, engine=eng)
+                       if tp > 1 else pp.shard_pp(params, cache, mesh))
 
     @jax.jit
     def run(params, tokens, cache):
@@ -90,6 +92,20 @@ def test_pp_masked_pruned_matches_single_device():
     ref = _ref(impl, params, tokens, 96, n_decode=4)
     got = _pp(impl, params, tokens, 96, 4, stages=4, n_micro=2)
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_pp_x_tp_matches_single_device():
+    """PP x TP composition: manual over "stage", GSPMD-auto over "model" —
+    in-stage weights carry the Megatron column/row shardings and each
+    stage's compute is tensor-parallel (pp_placement_specs)."""
+    eng, impl, params = _mk(CacheMode.MASKED, sparsity=0.5)
+    tokens = jnp.asarray(np.random.RandomState(3).randint(0, 256, (4, 96)))
+    ref = _ref(impl, params, tokens, 96, n_decode=3)
+    # tp caps at Hkv=2 (the cache's head axis shards over "model")
+    for stages, tp in ((2, 2), (4, 2)):
+        got = _pp(impl, params, tokens, 96, 3, stages=stages, n_micro=2,
+                  tp=tp, eng=eng)
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
 def test_pp_two_stages_partial_true_len():
