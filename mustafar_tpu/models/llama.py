@@ -35,13 +35,23 @@ def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict:
-    """Random-init params (tests/benches; real weights come from models.weights)."""
+    """Random-init params (tests/benches; real weights come from models.weights).
+
+    Layer-stacked leaves are generated one layer at a time inside jit so the
+    fp32 temps stay bounded to a single layer slice (an eager stacked
+    w_gate for 8B geometry is a 3.5 GiB fp32 temp PER LEAF — enough to OOM a
+    16 GiB chip that already holds earlier leaves; same discipline as
+    models/quant.py init_params_w8)."""
     k = iter(jax.random.split(key, 12))
     H, Dq, Dkv, I, L = (cfg.hidden_size, cfg.q_dim, cfg.kv_dim,
                         cfg.intermediate_size, cfg.num_layers)
 
     def w(key, *shape, scale=None):
         scale = scale or (1.0 / jnp.sqrt(shape[-2] if len(shape) > 1 else shape[-1]))
+        if len(shape) == 3 and shape[0] == L:  # layer-stacked leaf
+            gen = jax.jit(lambda kk: (jax.random.normal(
+                kk, shape[1:], jnp.float32) * scale).astype(dtype))
+            return jnp.stack([gen(kk) for kk in jax.random.split(key, L)])
         return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
 
     params = {
