@@ -133,6 +133,9 @@ def main(batch=None, prompt_len=None, gen_tokens=None):
     # the headline JSON line.
     def leg(name, fn):
         import gc
+        # free prior legs' compiled executables (their pinned device
+        # buffers fragment HBM enough to OOM later legs — r4 check runs)
+        jax.clear_caches()
         gc.collect()
         try:
             fn()
@@ -175,6 +178,10 @@ def main(batch=None, prompt_len=None, gen_tokens=None):
             "deep_dense_tok_s": round(dd_tps, 1),
             "deep_vs_dense": round(sd_tps / dd_tps, 3)})
         # capacity probe: can the 32k-context cache even be allocated?
+        del w8d
+        jax.clear_caches()
+        import gc
+        gc.collect()
         from mustafar_tpu.cache import make_cache
         for name, eng32 in zip(("dense", "sparse"),
                                _engines(cfg_full, 32768)[::-1]):

@@ -127,6 +127,24 @@ def test_mixtral_quantized_experts_close(quant):
     assert agree > (0.95 if quant == "w8" else 0.5), agree
 
 
+def test_mixtral_load_hf_dir_roundtrip(tmp_path):
+    """On-disk HF Mixtral checkpoint (safetensors) loads through load_hf_dir
+    with identical logits to the in-memory conversion."""
+    from mustafar_tpu.models.weights import load_hf_dir
+
+    hf = tiny_hf_mixtral()
+    hf.save_pretrained(tmp_path, safe_serialization=True)
+    cfg_d, params_d = load_hf_dir(str(tmp_path), dtype=jnp.float32)
+    assert cfg_d.num_experts == 4 and cfg_d.num_experts_per_tok == 2
+    cfg_d = dataclasses.replace(
+        cfg_d, expert_capacity_factor=float(cfg_d.num_experts
+                                            / cfg_d.num_experts_per_tok))
+    ids = np.random.RandomState(4).randint(1, 256, (2, 21)).tolist()
+    got = our_prefill_logits(cfg_d, params_d, ids)
+    ref = hf_logits(hf, ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
 def test_mixtral_w8_ep_sharded_matches_single_device():
     """Quantized experts under the EP sharding (scales ride the E axis)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
