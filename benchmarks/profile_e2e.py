@@ -6,7 +6,10 @@ alone and prints the per-step op breakdown (benchmarks/parse_trace.py).
 Used to locate non-attention overheads in the decode loop: pool carry
 copies, compaction, LM head, sampling.
 
-    python benchmarks/profile_e2e.py [sparse|dense] [layers] [gen] [bf16|w8|w4]
+    python benchmarks/profile_e2e.py [sparse|dense] [layers] [gen] [bf16|w8|w4] [batch] [prompt]
+
+The optional [batch] [prompt] override the reference bench shape (32, 300)
+— e.g. ``sparse 32 64 w8 8 3584`` profiles the deep-context leg's shape.
 """
 
 import dataclasses
@@ -19,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(engine_kind="sparse", layers=16, gen=64, weights="bf16"):
+def main(engine_kind="sparse", layers=16, gen=64, weights="bf16", B=32,
+         prompt_len=300):
     from mustafar_tpu.cache import make_cache
     from mustafar_tpu.config import (CacheMode, EngineConfig, LLAMA3_8B,
                                      PruneConfig, PruneMethod)
@@ -31,8 +35,7 @@ def main(engine_kind="sparse", layers=16, gen=64, weights="bf16"):
     # reduced-depth runs shrink it so bf16 weights fit
     cfg = dataclasses.replace(LLAMA3_8B, num_layers=layers,
                               vocab_size=128256 if layers >= 32 else 32000)
-    B, prompt_len = 32, 300
-    max_seq = 1312
+    max_seq = max(1312, ((prompt_len + gen + 255) // 256) * 256 + 288)
     if weights != "bf16" and layers >= 32:
         # 16 GiB of bf16 never fits next to the cache: init quantized directly
         from mustafar_tpu.models import quant
@@ -60,8 +63,9 @@ def main(engine_kind="sparse", layers=16, gen=64, weights="bf16"):
         eng = EngineConfig(model=cfg, cache_mode=CacheMode.DENSE,
                            max_seq_len=max_seq, prefill_bucket=256)
     cache_impl = make_cache(eng)
-    Tpad = 512
-    toks = jnp.pad(jnp.asarray(prompt, jnp.int32), ((0, 0), (0, Tpad - 300)))
+    Tpad = max(512, ((prompt_len + 255) // 256) * 256)
+    toks = jnp.pad(jnp.asarray(prompt, jnp.int32),
+                   ((0, 0), (0, Tpad - prompt_len)))
     tl = jnp.int32(prompt_len)
 
     @jax.jit
@@ -102,4 +106,6 @@ if __name__ == "__main__":
     layers = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     gen = int(sys.argv[3]) if len(sys.argv) > 3 else 64
     weights = sys.argv[4] if len(sys.argv) > 4 else "bf16"
-    main(kind, layers, gen, weights)
+    B = int(sys.argv[5]) if len(sys.argv) > 5 else 32
+    prompt_len = int(sys.argv[6]) if len(sys.argv) > 6 else 300
+    main(kind, layers, gen, weights, B, prompt_len)

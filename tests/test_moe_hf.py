@@ -145,6 +145,37 @@ def test_mixtral_load_hf_dir_roundtrip(tmp_path):
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
 
 
+def test_moe_continuous_batching_matches_generator():
+    """MoE models serve through the continuous-batching scheduler (the MLP
+    routing rides the per-layer protocol), token-exact vs the Generator on
+    the compressed q8q4 engine."""
+    from mustafar_tpu.config import ModelConfig
+    from mustafar_tpu.models.llama import init_params
+    from mustafar_tpu.runtime.scheduler import ContinuousBatchingEngine
+
+    cfg = ModelConfig(name="moe-cb", vocab_size=512, hidden_size=128,
+                      intermediate_size=256, num_layers=2, num_heads=2,
+                      num_kv_heads=1, head_dim=128,
+                      max_position_embeddings=1024, num_experts=4,
+                      num_experts_per_tok=2, expert_capacity_factor=8.0)
+    params = init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    from mustafar_tpu.config import PruneConfig, PruneMethod
+    eng = EngineConfig(model=cfg, cache_mode=CacheMode.COMPRESSED,
+                       prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                                         k_sparsity=0.5, v_sparsity=0.5),
+                       max_seq_len=1024, prefill_bucket=256, chunk_size=256,
+                       codec="q8q4", batch_size=2)
+    rs = np.random.RandomState(6)
+    prompts = [rs.randint(0, 512, size=n) for n in (40, 90)]
+    gen = Generator(eng, params, dtype=jnp.float32)
+    want = [gen.generate(p[None], max_new_tokens=8)[0] for p in prompts]
+    cb = ContinuousBatchingEngine(eng, params, dtype=jnp.float32)
+    uids = [cb.submit(p, 8) for p in prompts]
+    outs = cb.run()
+    for u, w in zip(uids, want):
+        np.testing.assert_array_equal(outs[u], w)
+
+
 def test_mixtral_w8_ep_sharded_matches_single_device():
     """Quantized experts under the EP sharding (scales ride the E axis)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
