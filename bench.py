@@ -12,16 +12,31 @@ cache).  vs_baseline is the sparse/dense tokens-per-second ratio at identical
 weights and shapes — the quantity the reference's kernel is built to improve.
 W4 (int4 blocked weights) legs and the round-1/2 16-layer bf16 legs are
 reported in detail for round-over-round continuity.
+
+Every leg — including the flagship — runs in ITS OWN SUBPROCESS on a clean
+chip, serialized (one chip).  The axon backend's allocator never defragments
+or returns freed pages, so any in-process leg ordering leaves residue that
+OOMs a later leg (round-4 check runs tried them all); the parent process
+never initializes the TPU.  Compile cost is unaffected: the legs' programs
+are mutually distinct (different weight dtypes / shapes / configs), so the
+in-process version recompiled per leg anyway.
 """
 
 import dataclasses
 import json
+import os
+import subprocess
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# The axon TPU plugin ignores JAX_PLATFORMS=cpu (CLAUDE.md); this env var
+# forces CPU for structure tests and is inherited by the leg subprocesses.
+if os.environ.get("MUSTAFAR_BENCH_CPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 
 def build(engine, params, dtype, prompt, gen_tokens, reps=3):
@@ -79,9 +94,10 @@ def _engines(cfg, max_seq):
     return sparse, dense
 
 
-def main(batch=None, prompt_len=None, gen_tokens=None):
+def _ctx(batch=None, prompt_len=None, gen_tokens=None):
+    """Shared shape/config derivation for every leg.  Initializes the
+    backend — only call inside a leg subprocess, never in the parent."""
     from mustafar_tpu.config import LLAMA3_8B
-    from mustafar_tpu.models.llama import init_params
 
     on_tpu = jax.default_backend() == "tpu"
     B, dflt_prompt, dflt_gen = (32, 300, 600) if on_tpu else (2, 64, 16)
@@ -94,30 +110,37 @@ def main(batch=None, prompt_len=None, gen_tokens=None):
     # DENSE baseline 939 -> 799 tok/s by padding its cache to 1624).
     max_seq = max(1312, ((prompt_len + gen_tokens + 255) // 256) * 256 + 288) \
         if on_tpu else 640
-    detail = {"batch": B, "prompt": prompt_len, "gen": gen_tokens,
-              "k_sparsity": 0.7, "v_sparsity": 0.7, "codec": "q8q4",
-              "backend": jax.default_backend()}
-
-    # ---- flagship: FULL 32-layer Llama-3-8B (the reference's bench model,
-    # mem_spd_test.py:7-17), weight-only int8 then int4 ----------------------
     cfg_full = LLAMA3_8B if on_tpu else dataclasses.replace(
         LLAMA3_8B, num_layers=2, vocab_size=512, intermediate_size=256,
         hidden_size=256, num_heads=2, num_kv_heads=2)
-    sparse_eng, dense_eng = _engines(cfg_full, max_seq)
-    prompt = np.random.RandomState(0).randint(
-        1, cfg_full.vocab_size, (B, prompt_len))
+    return dict(on_tpu=on_tpu, B=B, prompt_len=prompt_len,
+                gen_tokens=gen_tokens, max_seq=max_seq, cfg_full=cfg_full)
 
-    from mustafar_tpu.models.quant import (init_params_w4, init_params_w8,
-                                           weight_bytes)
-    w8 = jax.block_until_ready(init_params_w8(cfg_full, jax.random.PRNGKey(0)))
-    detail["full8b_w8_weights_gib"] = round(weight_bytes(w8) / 2**30, 2)
+
+# --------------------------------------------------------------------------
+# Legs.  Each runs in its own subprocess on a clean chip and returns a dict;
+# the flagship leg's dict carries the headline numbers.
+# --------------------------------------------------------------------------
+
+def _leg_flagship(ctx):
+    """FULL 32-layer Llama-3-8B (the reference's bench model,
+    mem_spd_test.py:7-17), weight-only int8."""
+    from mustafar_tpu.models.quant import init_params_w8, weight_bytes
+
+    cfg, B = ctx["cfg_full"], ctx["B"]
+    sparse_eng, dense_eng = _engines(cfg, ctx["max_seq"])
+    prompt = np.random.RandomState(0).randint(1, cfg.vocab_size,
+                                              (B, ctx["prompt_len"]))
+    w8 = jax.block_until_ready(init_params_w8(cfg, jax.random.PRNGKey(0)))
+    out = {"backend": jax.default_backend(),
+           "full8b_w8_weights_gib": round(weight_bytes(w8) / 2**30, 2)}
     sparse_tps, sparse_dt, (hbm_sparse, hbm_kind) = build(
-        sparse_eng, w8, jnp.bfloat16, prompt, gen_tokens)
+        sparse_eng, w8, jnp.bfloat16, prompt, ctx["gen_tokens"])
     dense_tps, dense_dt, (hbm_dense, _) = build(
-        dense_eng, w8, jnp.bfloat16, prompt, gen_tokens)
-    del w8
-    detail.update({
-        "model": f"llama-3-8b x{cfg_full.num_layers}L (full) + W8",
+        dense_eng, w8, jnp.bfloat16, prompt, ctx["gen_tokens"])
+    out.update({
+        "model": f"llama-3-8b x{cfg.num_layers}L (full) + W8",
+        "sparse_tok_s": round(sparse_tps, 1),
         "dense_tok_s": round(dense_tps, 1),
         "sparse_s_per_gen": round(sparse_dt, 3),
         "dense_s_per_gen": round(dense_dt, 3),
@@ -127,104 +150,197 @@ def main(batch=None, prompt_len=None, gen_tokens=None):
         "hbm_dense_gib": hbm_dense,
         "hbm_kind": hbm_kind,
     })
+    return out
 
-    # Detail legs below are fault-isolated: a late-leg failure (e.g. HBM
-    # fragmentation after the big flagship legs) must not cost the driver
-    # the headline JSON line.
-    def leg(name, fn):
-        import gc
-        # free prior legs' compiled executables (their pinned device
-        # buffers fragment HBM enough to OOM later legs — r4 check runs)
-        jax.clear_caches()
-        gc.collect()
-        try:
-            fn()
-        except Exception as e:  # noqa: BLE001 - record and continue
-            detail[f"leg_error_{name}"] = f"{type(e).__name__}: {e}"[:200]
-            print(f"[bench] leg {name} failed: {e}", file=sys.stderr)
 
-    def w4_leg():
-        w4 = jax.block_until_ready(
-            init_params_w4(cfg_full, jax.random.PRNGKey(0)))
-        detail["full8b_w4_weights_gib"] = round(weight_bytes(w4) / 2**30, 2)
-        s4_tps, _, (hbm_s4, _) = build(sparse_eng, w4, jnp.bfloat16, prompt,
-                                       gen_tokens)
-        d4_tps, _, _ = build(dense_eng, w4, jnp.bfloat16, prompt, gen_tokens)
-        detail.update({"sparse_w4_tok_s": round(s4_tps, 1),
-                       "dense_w4_tok_s": round(d4_tps, 1),
-                       "hbm_sparse_w4_gib": hbm_s4})
+def _leg_w4(ctx):
+    """Flagship geometry with int4 blocked weights."""
+    from mustafar_tpu.models.quant import init_params_w4, weight_bytes
 
-    leg("w4", w4_leg)
+    cfg, B = ctx["cfg_full"], ctx["B"]
+    sparse_eng, dense_eng = _engines(cfg, ctx["max_seq"])
+    prompt = np.random.RandomState(0).randint(1, cfg.vocab_size,
+                                              (B, ctx["prompt_len"]))
+    w4 = jax.block_until_ready(init_params_w4(cfg, jax.random.PRNGKey(0)))
+    out = {"full8b_w4_weights_gib": round(weight_bytes(w4) / 2**30, 2)}
+    s4_tps, _, (hbm_s4, _) = build(sparse_eng, w4, jnp.bfloat16, prompt,
+                                   ctx["gen_tokens"])
+    d4_tps, _, _ = build(dense_eng, w4, jnp.bfloat16, prompt,
+                         ctx["gen_tokens"])
+    out.update({"sparse_w4_tok_s": round(s4_tps, 1),
+                "dense_w4_tok_s": round(d4_tps, 1),
+                "hbm_sparse_w4_gib": hbm_s4})
+    return out
 
-    # ---- deep-context leg (VERDICT r3 weak #4): the reference's 300+600
-    # shape is weight-bound and hides where sparsity pays; at B=8 x 4k the
-    # attention stream dominates and the sparse advantage is visible in the
-    # end-to-end rate.  Plus the capacity point: the dense bf16 cache at
-    # B=8 x 32k (~17 GiB) cannot even be allocated on one chip, while the
-    # q8q4 compressed pool serves it (benchmarks/bench_longcontext.py) ------
-    def deep_leg():
-        deep_prompt, deep_gen, deep_B = 3584, 512, 8
-        deep_seq = ((deep_prompt + deep_gen + 255) // 256) * 256 + 288
-        sparse_d, dense_d = _engines(cfg_full, deep_seq)
-        pd = np.random.RandomState(1).randint(
-            1, cfg_full.vocab_size, (deep_B, deep_prompt))
-        w8d = jax.block_until_ready(
-            init_params_w8(cfg_full, jax.random.PRNGKey(0)))
-        sd_tps, _, _ = build(sparse_d, w8d, jnp.bfloat16, pd, deep_gen, reps=2)
-        dd_tps, _, _ = build(dense_d, w8d, jnp.bfloat16, pd, deep_gen, reps=2)
-        detail.update({
-            "deep_shape": f"B{deep_B} x {deep_prompt}+{deep_gen}",
+
+def _leg_deep(ctx):
+    """Deep-context leg (VERDICT r3 weak #4): the reference's 300+600 shape
+    is weight-bound and hides where sparsity pays; at B=8 x 4k the attention
+    stream dominates and the sparse advantage is visible end-to-end."""
+    from mustafar_tpu.models.quant import init_params_w8
+
+    cfg = ctx["cfg_full"]
+    deep_prompt, deep_gen, deep_B = 3584, 512, 8
+    deep_seq = ((deep_prompt + deep_gen + 255) // 256) * 256 + 288
+    sparse_d, dense_d = _engines(cfg, deep_seq)
+    pd = np.random.RandomState(1).randint(1, cfg.vocab_size,
+                                          (deep_B, deep_prompt))
+    w8d = jax.block_until_ready(init_params_w8(cfg, jax.random.PRNGKey(0)))
+    sd_tps, _, _ = build(sparse_d, w8d, jnp.bfloat16, pd, deep_gen, reps=2)
+    dd_tps, _, _ = build(dense_d, w8d, jnp.bfloat16, pd, deep_gen, reps=2)
+    return {"deep_shape": f"B{deep_B} x {deep_prompt}+{deep_gen}",
             "deep_sparse_tok_s": round(sd_tps, 1),
             "deep_dense_tok_s": round(dd_tps, 1),
-            "deep_vs_dense": round(sd_tps / dd_tps, 3)})
-        # capacity probe: can the 32k-context cache even be allocated?
-        del w8d
+            "deep_vs_dense": round(sd_tps / dd_tps, 3)}
+
+
+def _leg_bf16_16l(ctx):
+    """Continuity leg: reference geometry at reduced depth, bf16 weights
+    (the round-1/2 headline — full bf16 does not fit one 16 GiB chip)."""
+    from mustafar_tpu.config import LLAMA3_8B
+    from mustafar_tpu.models.llama import init_params
+
+    on_tpu, B = ctx["on_tpu"], ctx["B"]
+    layers = 16 if on_tpu else 2
+    cfg16 = dataclasses.replace(LLAMA3_8B, num_layers=layers,
+                                vocab_size=32000 if on_tpu else 512)
+    if not on_tpu:
+        cfg16 = dataclasses.replace(
+            cfg16, intermediate_size=256, hidden_size=256, num_heads=2,
+            num_kv_heads=2)
+    sparse16, dense16 = _engines(cfg16, ctx["max_seq"])
+    p16 = np.random.RandomState(0).randint(1, cfg16.vocab_size,
+                                           (B, ctx["prompt_len"]))
+    params16 = jax.block_until_ready(
+        init_params(cfg16, jax.random.PRNGKey(0), dtype=jnp.bfloat16))
+    s16_tps, _, _ = build(sparse16, params16, jnp.bfloat16, p16,
+                          ctx["gen_tokens"])
+    d16_tps, _, _ = build(dense16, params16, jnp.bfloat16, p16,
+                          ctx["gen_tokens"])
+    return {"bf16_16l_sparse_tok_s": round(s16_tps, 1),
+            "bf16_16l_dense_tok_s": round(d16_tps, 1)}
+
+
+def _leg_cap32k(ctx):
+    """Capacity point: can the 32k-context B=8 cache be SERVED from HBM?
+    The dense bf16 cache is 32 GiB — double the chip; the q8q4 pool is
+    12.3 GiB and fits.  A bare zeros-allocation is not evidence (the axon
+    runtime reported a 32 GiB zero pool as "fits" in round 4 — lazy/spilled
+    pages), so the probe fills every leaf with distinct values and then
+    times a full-pool reduction: resident HBM reads at the ~700 GB/s
+    roofline; anything host-spilled shows up orders of magnitude slower."""
+    from mustafar_tpu.cache import make_cache
+
+    out = {}
+    for name, eng32 in zip(("dense", "sparse"),
+                           _engines(ctx["cfg_full"], 32768)[::-1]):
+        try:
+            @jax.jit
+            def _alloc():
+                c = make_cache(eng32).init(8, jnp.bfloat16)
+                return jax.tree.map(
+                    lambda x: jax.lax.iota(
+                        x.dtype if x.dtype != jnp.bool_ else jnp.int32,
+                        x.size).reshape(x.shape).astype(x.dtype)
+                    if x.size > 1 else x, c)
+
+            c = jax.block_until_ready(_alloc())
+            gib = sum(x.nbytes for x in jax.tree.leaves(c)) / 2**30
+
+            @jax.jit
+            def _touch(c):
+                return sum(jnp.sum(x.astype(jnp.float32))
+                           for x in jax.tree.leaves(c))
+
+            jax.block_until_ready(_touch(c))  # compile
+            t0 = time.perf_counter()
+            jax.block_until_ready(_touch(c))
+            gbs = gib * 2**30 / (time.perf_counter() - t0) / 1e9
+            out[f"cap32k_{name}"] = f"fits ({gib:.1f} GiB @ {gbs:.0f} GB/s)"
+            del c
+        except Exception:
+            out[f"cap32k_{name}"] = "OOM"
         jax.clear_caches()
-        import gc
-        gc.collect()
-        from mustafar_tpu.cache import make_cache
-        for name, eng32 in zip(("dense", "sparse"),
-                               _engines(cfg_full, 32768)[::-1]):
-            try:
-                c = jax.block_until_ready(
-                    jax.jit(lambda: make_cache(eng32).init(8, jnp.bfloat16))())
-                gib = sum(x.nbytes for x in jax.tree.leaves(c)) / 2**30
-                detail[f"cap32k_{name}"] = f"fits ({gib:.1f} GiB)"
-                del c
-            except Exception:
-                detail[f"cap32k_{name}"] = "OOM"
+    return out
 
-    if on_tpu:
-        leg("deep", deep_leg)
 
-    # ---- continuity leg: reference geometry at reduced depth, bf16 weights
-    # (the round-1/2 headline — full bf16 does not fit one 16 GiB chip) -----
-    def continuity_leg():
-        layers = 16 if on_tpu else 2
-        cfg16 = dataclasses.replace(LLAMA3_8B, num_layers=layers,
-                                    vocab_size=32000 if on_tpu else 512)
-        sparse16, dense16 = _engines(cfg16, max_seq)
-        p16 = np.random.RandomState(0).randint(1, cfg16.vocab_size,
-                                               (B, prompt_len))
-        params16 = jax.block_until_ready(
-            init_params(cfg16, jax.random.PRNGKey(0), dtype=jnp.bfloat16))
-        s16_tps, _, _ = build(sparse16, params16, jnp.bfloat16, p16,
-                              gen_tokens)
-        d16_tps, _, _ = build(dense16, params16, jnp.bfloat16, p16,
-                              gen_tokens)
-        detail.update({"bf16_16l_sparse_tok_s": round(s16_tps, 1),
-                       "bf16_16l_dense_tok_s": round(d16_tps, 1)})
+LEGS = {"flagship": _leg_flagship, "w4": _leg_w4, "deep": _leg_deep,
+        "bf16_16l": _leg_bf16_16l, "cap32k": _leg_cap32k}
+_LEG_SENTINEL = "BENCH_LEG_RESULT:"
 
-    leg("bf16_16l", continuity_leg)
 
+def _run_leg(name, detail, argv_shape, timeout=2700):
+    cmd = [sys.executable, os.path.abspath(__file__), "--leg", name,
+           *argv_shape]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=timeout)
+        for line in reversed(proc.stdout.splitlines()):
+            if line.startswith(_LEG_SENTINEL):
+                detail.update(json.loads(line[len(_LEG_SENTINEL):]))
+                return True
+        err = (proc.stderr or "").strip().splitlines()
+        detail[f"leg_error_{name}"] = (err[-1] if err else
+                                       f"no result (rc={proc.returncode})")[:200]
+    except subprocess.TimeoutExpired:
+        detail[f"leg_error_{name}"] = f"timeout after {timeout}s"
+    except Exception as e:  # noqa: BLE001
+        detail[f"leg_error_{name}"] = f"{type(e).__name__}: {e}"[:200]
+    print(f"[bench] leg {name} failed: {detail[f'leg_error_{name}']}",
+          file=sys.stderr)
+    return False
+
+
+def main(batch=None, prompt_len=None, gen_tokens=None):
+    """Orchestrator: spawns one subprocess per leg; never touches the TPU."""
+    argv_shape = []
+    if batch:
+        argv_shape += ["--batch", str(batch)]
+    if prompt_len:
+        argv_shape += ["--prompt", str(prompt_len)]
+    if gen_tokens:
+        argv_shape += ["--gen", str(gen_tokens)]
+
+    detail = {"k_sparsity": 0.7, "v_sparsity": 0.7, "codec": "q8q4"}
+    ok = _run_leg("flagship", detail, argv_shape, timeout=3300)
+    if not ok:  # one retry — transient chip contention must not cost the round
+        detail.pop("leg_error_flagship", None)
+        ok = _run_leg("flagship", detail, argv_shape, timeout=3300)
+    if not ok:
+        print(json.dumps({"metric": "full8b_w8_sparse_decode_throughput",
+                          "value": 0.0, "unit": "tok/s", "vs_baseline": 0.0,
+                          "detail": detail}))
+        sys.exit(1)
+
+    on_tpu = detail.get("backend") == "tpu"
+    detail.update({"batch": batch or (32 if on_tpu else 2),
+                   "prompt": prompt_len or (300 if on_tpu else 64),
+                   "gen": gen_tokens or (600 if on_tpu else 16)})
+    leg_names = ["w4", "bf16_16l", "deep", "cap32k"] if on_tpu \
+        else ["w4", "bf16_16l"]
+    for name in leg_names:
+        _run_leg(name, detail, argv_shape)
+
+    sparse_tps = detail.pop("sparse_tok_s")
     print(json.dumps({
         "metric": "full8b_w8_sparse_decode_throughput",
-        "value": round(sparse_tps, 1),
+        "value": sparse_tps,
         "unit": "tok/s",
-        "vs_baseline": round(sparse_tps / dense_tps, 3),
+        "vs_baseline": round(sparse_tps / detail["dense_tok_s"], 3),
         "detail": detail,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--leg", choices=sorted(LEGS))
+    ap.add_argument("--batch", type=int)
+    ap.add_argument("--prompt", type=int)
+    ap.add_argument("--gen", type=int)
+    a = ap.parse_args()
+    if a.leg:
+        res = LEGS[a.leg](_ctx(a.batch, a.prompt, a.gen))
+        print(_LEG_SENTINEL + json.dumps(res), flush=True)
+    else:
+        main(batch=a.batch, prompt_len=a.prompt, gen_tokens=a.gen)
