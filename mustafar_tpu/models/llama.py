@@ -269,6 +269,9 @@ def _lm_head(cfg: ModelConfig, params: dict, x: jnp.ndarray) -> jnp.ndarray:
         head, scale = params["embed"].T, params.get("embed_scale")
     else:
         head, scale = params["lm_head"], params.get("lm_head_scale")
+    if head.dtype == jnp.int8 and "act_quant" in params:
+        from mustafar_tpu.models.quant import w8a8_dot
+        return w8a8_dot(x, head, scale, out_dtype=jnp.float32)
     logits = (x @ head.astype(x.dtype)).astype(jnp.float32)
     if head.dtype == jnp.int8:
         logits = logits * scale

@@ -24,6 +24,8 @@ multiplies once after the MXU dot.  The embedding table is quantized per row
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -141,17 +143,67 @@ def quantize_params(params: dict, donate: bool = False) -> dict:
     return out
 
 
+def enable_act_quant(params: dict) -> dict:
+    """Mark a W8 params pytree for int8-activation serving (W8A8).
+
+    Adds two tiny int8 marker leaves whose *presence* (pytree structure, so
+    static under jit) routes every int8 projection through w8a8_dot and the
+    int8 LM head through the same native-MXU path (models/llama.py _lm_head):
+    ``layers["a8"]`` [L, 1] rides the layer scan; top-level ``act_quant``
+    covers the head.  Weight layout is unchanged — W8 checkpoints serve in
+    either mode.
+    """
+    out = dict(params)
+    layers = dict(params["layers"])
+    L = layers["attn_norm"].shape[0]
+    layers["a8"] = jnp.zeros((L, 1), jnp.int8)
+    out["layers"] = layers
+    out["act_quant"] = jnp.zeros((1,), jnp.int8)
+    return out
+
+
+def act_quant(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Dynamic per-row (per-token) symmetric int8 activation quantization."""
+    ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    sx = jnp.maximum(ax, 1e-30) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127,
+                  127).astype(jnp.int8)
+    return xq, sx
+
+
+def w8a8_dot(h: jnp.ndarray, w: jnp.ndarray, s: jnp.ndarray,
+             out_dtype=None) -> jnp.ndarray:
+    """int8 x int8 MXU dot with dynamic per-token activation scales.
+
+    The weight-only form widens the int8 weight stream to bf16 on the VPU
+    inside the dot, which caps it at ~370 GB/s (docs/PERFORMANCE.md W8
+    microbench) — half the chip's measured HBM rate.  Feeding the MXU int8
+    on BOTH sides removes the widen entirely: the weight bytes stream
+    straight into int8 MACs with an s32 accumulator, and the two scale
+    vectors (per-token sx, per-out-channel s) apply once after the dot.
+    """
+    xq, sx = act_quant(h)
+    acc = jax.lax.dot_general(xq, w, (((h.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * sx * s.astype(jnp.float32)
+            ).astype(out_dtype or h.dtype)
+
+
 def proj(h: jnp.ndarray, lp: dict, name: str) -> jnp.ndarray:
     """h @ lp[name], dequantizing on the fly for int8/int4 weights.
 
     int8: the astype + per-out-channel scale fuse into the dot (weight-only
     -quant XLA pattern); scale * int8 products stay well inside bf16 range.
+    int8 with the "a8" marker leaf present (enable_act_quant): native int8
+    MXU dot with dynamic activation quantization (w8a8_dot).
     int4 (int16 nibble carriers): see _w4_dot.
     """
     w = lp[name]
     if w.dtype == jnp.int16:
         return _w4_dot(h, w, lp[name + "_scale"], lp.get("_li"))
     if w.dtype == jnp.int8:
+        if "a8" in lp:
+            return w8a8_dot(h, w, lp[name + "_scale"])
         return (h @ w.astype(h.dtype)) * lp[name + "_scale"].astype(h.dtype)
     return h @ w
 
@@ -274,7 +326,7 @@ def init_params_w8(cfg, key: jax.Array) -> dict:
     k = iter(jax.random.split(key, 12))
 
     def stacked(key, in_dim, out_dim, scale=None):
-        scale = scale or (1.0 / float(jnp.sqrt(in_dim)))
+        scale = scale or (1.0 / math.sqrt(in_dim))
 
         @jax.jit
         def gen(kk):
@@ -323,7 +375,7 @@ def init_params_w4(cfg, key: jax.Array) -> dict:
     k = iter(jax.random.split(key, 12))
 
     def stacked(key, in_dim, out_dim, scale=None):
-        scale = scale or (1.0 / float(jnp.sqrt(in_dim)))
+        scale = scale or (1.0 / math.sqrt(in_dim))
 
         @jax.jit
         def gen(kk):

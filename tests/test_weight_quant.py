@@ -153,3 +153,44 @@ def test_w8_generation_all_cache_modes():
     # token-level agreement with bf16 weights is checked on TRAINED weights
     # (real logit margins) in the accuracy grid (harness/tinylm.py); random
     # init has near-flat margins, so greedy chains decorrelate by design.
+
+
+def test_w8a8_dot_matches_w8():
+    w = jax.random.normal(jax.random.PRNGKey(5), (256, 96), jnp.float32)
+    q, s = quant._quant_last(w)
+    x = jax.random.normal(jax.random.PRNGKey(6), (4, 256), jnp.bfloat16)
+    y8 = (x @ q.astype(x.dtype)) * s.astype(x.dtype)
+    ya = quant.w8a8_dot(x, q, s)
+    rel = float(jnp.linalg.norm((ya - y8).astype(jnp.float32))
+                / jnp.linalg.norm(y8.astype(jnp.float32)))
+    assert rel < 0.02, rel
+
+
+def test_w8a8_logits_close_to_bf16():
+    params = init_params(MODEL, jax.random.PRNGKey(2), dtype=jnp.bfloat16)
+    qp = quant.enable_act_quant(quant.quantize_params(params))
+    assert "a8" in qp["layers"] and "act_quant" in qp
+    toks = jnp.asarray(np.random.RandomState(0).randint(0, 512, (2, 64)))
+    lf = lm_forward(MODEL, params, toks)
+    lq = lm_forward(MODEL, qp, toks)
+    pf = jax.nn.log_softmax(lf, -1)
+    pq = jax.nn.log_softmax(lq, -1)
+    kl = jnp.sum(jnp.exp(pf) * (pf - pq), -1).mean()
+    assert float(kl) < 0.08, float(kl)
+
+
+def test_w8a8_generation_all_cache_modes():
+    params = init_params(MODEL, jax.random.PRNGKey(3), dtype=jnp.bfloat16)
+    qp = quant.enable_act_quant(quant.quantize_params(params))
+    prompt = np.random.RandomState(1).randint(0, 512, size=(2, 300))
+    for mode, codec in [(CacheMode.DENSE, "bitmap"),
+                        (CacheMode.MASKED, "bitmap"),
+                        (CacheMode.COMPRESSED, "q8q4")]:
+        eng = EngineConfig(model=MODEL, cache_mode=mode,
+                           prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                                             k_sparsity=0.5, v_sparsity=0.5),
+                           max_seq_len=1024, prefill_bucket=256,
+                           chunk_size=256, codec=codec)
+        out = Generator(eng, qp, dtype=jnp.bfloat16).generate(
+            prompt, max_new_tokens=40)
+        assert all(len(o) == 40 for o in out), mode
