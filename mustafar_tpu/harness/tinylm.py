@@ -461,13 +461,18 @@ def run_accuracy(ckpt_dir: str, out_dir: str, n_rows: int = 40,
         # params (models/quant.py) — isolates weight-quant accuracy on top
         # of the KV-pruning grid.
         run_params, wtag = params, ""
-        for tag in ("+w8", "+w4"):
+        for tag in ("+w8a8", "+w8", "+w4"):
             if mode.endswith(tag):
                 if tag not in qcache:
                     from mustafar_tpu.models import quant
-                    qcache[tag] = (quant.quantize_params(params) if tag ==
-                                   "+w8" else quant.quantize_params_w4(params))
+                    qcache[tag] = {
+                        "+w8": quant.quantize_params,
+                        "+w4": quant.quantize_params_w4,
+                        "+w8a8": lambda p: quant.enable_act_quant(
+                            quant.quantize_params(p)),
+                    }[tag](params)
                 run_params, mode, wtag = qcache[tag], mode[: -len(tag)], tag
+                break
         name = ("dense" if mode == "dense" else f"{mode}@{s}") + wtag
         if name in results:   # e.g. dense+w8 is sparsity-independent
             continue

@@ -64,8 +64,19 @@ def moe_mlp(cfg: ModelConfig, lp: dict, x: jnp.ndarray) -> jnp.ndarray:
     def edot(v, name, spec):
         """Batched expert einsum, dequantizing W8 experts on the fly: the
         astype + per-(expert, out-channel) scale fuse into the dot operand
-        read exactly like quant.proj's 2-D pattern (models/quant.py)."""
+        read exactly like quant.proj's 2-D pattern (models/quant.py).
+        Under the "a8" marker (enable_act_quant) the expert dots run the
+        native int8 MXU path: slot activations are quantized per (expert,
+        slot) row over the contraction axis — v's last axis in every spec
+        here — and the two scale factors apply after the s32 einsum."""
         w = lp[name]
+        if w.dtype == jnp.int8 and "a8" in lp:
+            from mustafar_tpu.models.quant import act_quant
+            vq, sv = act_quant(v)
+            acc = jnp.einsum(spec, vq, w, preferred_element_type=jnp.int32)
+            return (acc.astype(jnp.float32) * sv
+                    * lp[name + "_scale"].astype(jnp.float32)[:, None, :]
+                    ).astype(v.dtype)
         y = jnp.einsum(spec, v, w.astype(v.dtype))
         if w.dtype == jnp.int8:
             y = y * lp[name + "_scale"].astype(v.dtype)[:, None, :]

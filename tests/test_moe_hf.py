@@ -205,3 +205,17 @@ def test_mixtral_w8_ep_sharded_matches_single_device():
 
     got = np.asarray(run(qps, tokens, cache))
     np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+
+
+def test_mixtral_w8a8_experts_close():
+    """W8A8 (int8 activations through the expert einsums) stays close."""
+    from mustafar_tpu.models.quant import enable_act_quant
+    cfg, params = _load(tiny_hf_mixtral())
+    ids = np.random.RandomState(2).randint(1, 256, (2, 33)).tolist()
+    ref = our_prefill_logits(cfg, params, ids)
+    qp = enable_act_quant(quantize_params(params))
+    assert "a8" in qp["layers"]
+    got = our_prefill_logits(cfg, qp, ids)
+    assert np.abs(got - ref).mean() < 0.06
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+    assert agree > 0.9, agree
