@@ -247,16 +247,17 @@ def _leg_cap32k(ctx):
             c = jax.block_until_ready(_alloc())
             gib = sum(x.nbytes for x in jax.tree.leaves(c)) / 2**30
 
+            # reduce the filled pool so "fits" means materialized + readable,
+            # not merely allocated.  (No GB/s is reported: wall-clock through
+            # the dispatch tunnel is untrustworthy — a 12 GiB reduction
+            # "measured" 133 TB/s; see benchmarks/parse_trace.py.)
             @jax.jit
             def _touch(c):
                 return sum(jnp.sum(x.astype(jnp.float32))
                            for x in jax.tree.leaves(c))
 
-            jax.block_until_ready(_touch(c))  # compile
-            t0 = time.perf_counter()
             jax.block_until_ready(_touch(c))
-            gbs = gib * 2**30 / (time.perf_counter() - t0) / 1e9
-            out[f"cap32k_{name}"] = f"fits ({gib:.1f} GiB @ {gbs:.0f} GB/s)"
+            out[f"cap32k_{name}"] = f"fits ({gib:.1f} GiB resident)"
             del c
         except Exception:
             out[f"cap32k_{name}"] = "OOM"

@@ -10,39 +10,52 @@ traffic, that efficiency IS the headline throughput.  Candidates:
   w8        (x @ w_i8.astype(bf16)) * s          (production weight-only)
   w8a8      dot_general(x_i8, w_i8, s32) * sx*sw (native MXU int8 path -
             no VPU widen of the weight stream at all; activations quantized
-            per-row on the fly)
+            per-row on the fly; models/quant.py w8a8_dot)
   w8a8_pre  same but activation quantization outside the timed region
             (isolates the dot cost)
 
-Chained through jnp.max-consumers per the round-2 timing discipline
-(CLAUDE.md): n=300 dependent iterations, device-time via wall-clock over
-the chained jit (tunnel-safe for >=100-iteration chains).
+Timing is DEVICE time from jax.profiler traces (parse_trace.py discipline):
+wall-clock chains through the dispatch tunnel are untrustworthy in both
+directions, and fori_loop chains with affine feedback get algebraically
+gutted by XLA ((x0 + c) @ W factors; a 160 us dot "measured" 0.3 us).
 
     python benchmarks/bench_w8_matmul.py [din] [dout] [batch] [iters]
 """
 
-import functools
+import glob
+import gzip
+import json
+import shutil
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-def _chain(fn, n):
-    """y_{i+1} = fn(perturb(y_i)) so XLA cannot elide or overlap steps."""
-    @jax.jit
-    def run(x0, *args):
-        def body(i, x):
-            y = fn(x, *args)
-            # fold the output back into a fresh [B, din]-shaped input
-            return (x0 + jnp.max(y) * 1e-9).astype(x0.dtype)
-        return jax.lax.fori_loop(0, n, body, x0)
-    return run
+def device_time(fn, args, iters, tag):
+    """Total device seconds per call from a jax.profiler trace."""
+    out = fn(*args)
+    jax.block_until_ready(out)
+    trace_dir = f"/tmp/w8mm_trace/{tag}"
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    with jax.profiler.trace(trace_dir):
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+    files = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
+    with gzip.open(files[-1]) as fh:
+        events = json.load(fh)["traceEvents"]
+    pids = {e["pid"]: e["args"].get("name", "") for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    total = sum(e["dur"] for e in events
+                if e.get("ph") == "X" and "dur" in e
+                and "TPU" in pids.get(e.get("pid"), "")
+                and e.get("name", "").startswith("jit"))
+    return total / iters / 1e6                                   # seconds
 
 
-def main(din=14336, dout=4096, B=32, iters=300):
+def main(din=14336, dout=4096, B=32, iters=50):
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(B, din), jnp.bfloat16)
     wf = rng.randn(din, dout).astype(np.float32) / np.sqrt(din)
@@ -51,12 +64,11 @@ def main(din=14336, dout=4096, B=32, iters=300):
     w_i8 = jnp.asarray(np.clip(np.round(wf / s), -127, 127), jnp.int8)
     s_bf16 = jnp.asarray(s, jnp.bfloat16)
 
-    gib = {"bf16": w_bf16.nbytes, "w8": w_i8.nbytes, "w8a8": w_i8.nbytes,
-           "w8a8_pre": w_i8.nbytes}
-
+    @jax.jit
     def f_bf16(x, w):
         return x @ w
 
+    @jax.jit
     def f_w8(x, w, s):
         return (x @ w.astype(x.dtype)) * s
 
@@ -67,6 +79,7 @@ def main(din=14336, dout=4096, B=32, iters=300):
                       127).astype(jnp.int8)
         return xq, sx
 
+    @jax.jit
     def f_w8a8(x, w, s):
         xq, sx = _act_quant(x)
         acc = jax.lax.dot_general(xq, w, (((1,), (0,)), ((), ())),
@@ -75,51 +88,32 @@ def main(din=14336, dout=4096, B=32, iters=300):
                 ).astype(x.dtype)
 
     xq0, sx0 = _act_quant(x)
+    xq0, sx0 = jax.block_until_ready((xq0, sx0))
 
+    @jax.jit
     def f_w8a8_pre(xq, w, s, sx):
         acc = jax.lax.dot_general(xq, w, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.int32)
         return (acc.astype(jnp.float32) * sx * s.astype(jnp.float32)
                 ).astype(jnp.bfloat16)
 
+    wb = {"bf16": w_bf16.nbytes, "w8": w_i8.nbytes, "w8a8": w_i8.nbytes,
+          "w8a8_pre": w_i8.nbytes}
     results = {}
     for name, fn, args in [
-        ("bf16", f_bf16, (w_bf16,)),
-        ("w8", f_w8, (w_i8, s_bf16)),
-        ("w8a8", f_w8a8, (w_i8, s_bf16)),
+        ("bf16", f_bf16, (x, w_bf16)),
+        ("w8", f_w8, (x, w_i8, s_bf16)),
+        ("w8a8", f_w8a8, (x, w_i8, s_bf16)),
+        ("w8a8_pre", f_w8a8_pre, (xq0, w_i8, s_bf16, sx0)),
     ]:
-        run = _chain(fn, iters)
         try:
-            jax.block_until_ready(run(x, *args))  # compile + warm
-            t0 = time.perf_counter()
-            jax.block_until_ready(run(x, *args))
-            us = (time.perf_counter() - t0) / iters * 1e6
-            results[name] = us
-            print(f"{name:10s} {us:8.1f} us/dot   "
-                  f"{gib[name] / us * 1e6 / 2**30:6.0f} GiB/s weight stream",
+            sec = device_time(fn, args, iters, name)
+            results[name] = sec * 1e6
+            print(f"{name:10s} {sec * 1e6:8.1f} us/dot   "
+                  f"{wb[name] / sec / 1e9:6.0f} GB/s weight stream",
                   flush=True)
         except Exception as e:  # noqa: BLE001
             print(f"{name:10s} FAILED: {type(e).__name__}: {e}", flush=True)
-
-    # pre-quantized-activation variant: chain over int8 carriers
-    @jax.jit
-    def run_pre(xq, w, s, sx):
-        def body(i, xq):
-            y = f_w8a8_pre(xq, w, s, sx)
-            return (xq + (jnp.max(y) * 0).astype(jnp.int8)).astype(jnp.int8)
-        return jax.lax.fori_loop(0, iters, body, xq)
-
-    try:
-        jax.block_until_ready(run_pre(xq0, w_i8, s_bf16, sx0))
-        t0 = time.perf_counter()
-        jax.block_until_ready(run_pre(xq0, w_i8, s_bf16, sx0))
-        us = (time.perf_counter() - t0) / iters * 1e6
-        results["w8a8_pre"] = us
-        print(f"{'w8a8_pre':10s} {us:8.1f} us/dot   "
-              f"{gib['w8a8_pre'] / us * 1e6 / 2**30:6.0f} GiB/s weight stream",
-              flush=True)
-    except Exception as e:  # noqa: BLE001
-        print(f"w8a8_pre   FAILED: {type(e).__name__}: {e}", flush=True)
 
     # numeric sanity: w8a8 vs w8 reference on the same weights
     y8 = f_w8(x, w_i8, s_bf16)

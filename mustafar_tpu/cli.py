@@ -155,6 +155,13 @@ def cmd_accuracy(args):
 
 
 def main(argv=None):
+    # The axon TPU plugin ignores JAX_PLATFORMS=cpu; MUSTAFAR_CPU=1 forces
+    # CPU for accuracy grids / predict runs so they never contend with a
+    # benchmark that owns the single chip.
+    import os
+    if os.environ.get("MUSTAFAR_CPU"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     parser = argparse.ArgumentParser(prog="mustafar_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
