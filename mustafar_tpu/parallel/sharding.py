@@ -72,10 +72,13 @@ def param_specs(cfg: ModelConfig) -> dict:
             "we_gate_scale": P(None, "model", None),
             "we_up_scale": P(None, "model", None),
             "we_down_scale": P(None, "model", None),
+            # W8A8 marker leaf (models/quant.py enable_act_quant): replicated
+            "a8": P(None, None),
         },
         "final_norm": P(None,),
         "lm_head": P(None, "model"),
         "lm_head_scale": P("model",),
+        "act_quant": P(None,),
     }
 
 

@@ -261,3 +261,34 @@ def test_graft_dryrun():
     out, _ = jax.jit(fn)(*args)
     assert out.shape == (2,)
     g.dryrun_multichip(8)
+
+
+def test_w8a8_tp_dp_matches_single_device():
+    """W8A8 under dp x tp: the act-quant per-token max over a row-parallel
+    contraction axis is a global-semantics reduction (GSPMD inserts the
+    small collective); marker leaves replicate (param_specs "a8")."""
+    from mustafar_tpu.models.quant import enable_act_quant, quantize_params
+    assert len(jax.devices()) >= 8
+    eng = EngineConfig(model=CFG, cache_mode=CacheMode.MASKED,
+                       prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                                         k_sparsity=0.5, v_sparsity=0.5),
+                       max_seq_len=128)
+    params = enable_act_quant(quantize_params(
+        init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)))
+    impl = make_cache(eng)
+    B = 4
+    tokens = jnp.asarray(np.random.RandomState(0).randint(0, 256, (B, 64)))
+    ref1, ref2 = _run(eng, params, impl.init(B, jnp.float32), tokens)
+
+    mesh = sh.make_mesh(dp=4, tp=2)
+    pspecs = sh.filter_specs_for(params, sh.param_specs(CFG))
+    params_s = sh.shard_pytree(params, pspecs, mesh)
+    cache = impl.init(B, jnp.float32)
+    cache_s = sh.shard_pytree(cache, sh.cache_specs(eng, cache), mesh)
+    tokens_s = jax.device_put(tokens, NamedSharding(mesh, P("data", None)))
+    got1, got2 = _run(eng, params_s, cache_s, tokens_s, mesh)
+
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1), rtol=2e-4,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), rtol=2e-4,
+                               atol=2e-4)
