@@ -91,14 +91,22 @@ def _mlp(lp: dict, h: jnp.ndarray) -> jnp.ndarray:
     """
     from mustafar_tpu.models.quant import proj
     B, T, H = h.shape
+
+    if "w_gateup" in lp:            # fused layout (quant.fuse_projections)
+        def gated(seg):
+            gu = proj(seg, lp, "w_gateup")
+            g, u = jnp.split(gu, 2, axis=-1)
+            return proj(jax.nn.silu(g) * u, lp, "w_down")
+    else:
+        def gated(seg):
+            return proj(jax.nn.silu(proj(seg, lp, "w_gate"))
+                        * proj(seg, lp, "w_up"), lp, "w_down")
+
     if T <= _MLP_SEG or T % _MLP_SEG:
-        return proj(jax.nn.silu(proj(h, lp, "w_gate")) * proj(h, lp, "w_up"),
-                    lp, "w_down")
+        return gated(h)
     n = T // _MLP_SEG
     hs = jnp.swapaxes(h.reshape(B, n, _MLP_SEG, H), 0, 1)      # [n, B, seg, H]
-    out = jax.lax.map(
-        lambda seg: proj(jax.nn.silu(proj(seg, lp, "w_gate"))
-                         * proj(seg, lp, "w_up"), lp, "w_down"), hs)
+    out = jax.lax.map(gated, hs)
     return jnp.swapaxes(out, 0, 1).reshape(B, T, H)
 
 
@@ -107,9 +115,17 @@ def _layer(cfg: ModelConfig, lp: dict, x: jnp.ndarray, cos, sin, attend_fn, lc):
     from mustafar_tpu.models.quant import proj
     B, T, H = x.shape
     h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-    q = proj(h, lp, "wq").reshape(B, T, cfg.num_heads, cfg.head_dim)
-    kk = proj(h, lp, "wk").reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
-    vv = proj(h, lp, "wv").reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    if "wqkv" in lp:                # fused layout (quant.fuse_projections)
+        qkv = proj(h, lp, "wqkv")
+        q, kk, vv = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim],
+                              axis=-1)
+        q = q.reshape(B, T, cfg.num_heads, cfg.head_dim)
+        kk = kk.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+        vv = vv.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    else:
+        q = proj(h, lp, "wq").reshape(B, T, cfg.num_heads, cfg.head_dim)
+        kk = proj(h, lp, "wk").reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+        vv = proj(h, lp, "wv").reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
     q = apply_rope(q, cos, sin)
     kk = apply_rope(kk, cos, sin)
     attn_out, lc = attend_fn(lc, q, kk, vv)

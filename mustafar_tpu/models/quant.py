@@ -162,6 +162,42 @@ def enable_act_quant(params: dict) -> dict:
     return out
 
 
+def fuse_projections(params: dict) -> dict:
+    """Concatenate qkv and gate+up along the out-channel axis (single-chip).
+
+    Every decode-step dot on this backend carries a fixed ~85 us pipeline
+    overhead on top of its HBM bytes (benchmarks/bench_w8_matmul.py: the
+    58.7 MB W8 dot runs 163 us vs a 79 us bandwidth ideal, and the pure
+    bf16 dot shows the same absolute gap) — so 7 projections/layer cost
+    ~3 dots' worth of pure overhead.  Fusing wq/wk/wv -> wqkv and
+    w_gate/w_up -> w_gateup cuts 7 dots to 4.  Works on bf16, W8 (scales
+    concat along out-channel), W4 (int16 carriers and blocked scales both
+    carry out-channel last), and composes with enable_act_quant.
+
+    SINGLE-CHIP layout: under tensor parallelism the fused out-channel axis
+    would straddle the head-aligned "model" shards (q|k|v boundaries are
+    not multiples of dim/tp), so param_specs deliberately has no entry for
+    the fused names — shard the unfused layout instead.
+    """
+    out = dict(params)
+    layers = dict(params["layers"])
+
+    def cat(names, newname):
+        if not all(n in layers for n in names):
+            return
+        ws = [layers.pop(n) for n in names]
+        assert len({w.dtype for w in ws}) == 1, (newname, [w.dtype for w in ws])
+        layers[newname] = jnp.concatenate(ws, axis=-1)
+        scs = [layers.pop(n + "_scale", None) for n in names]
+        if scs[0] is not None:
+            layers[newname + "_scale"] = jnp.concatenate(scs, axis=-1)
+
+    cat(("wq", "wk", "wv"), "wqkv")
+    cat(("w_gate", "w_up"), "w_gateup")
+    out["layers"] = layers
+    return out
+
+
 def act_quant(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Dynamic per-row (per-token) symmetric int8 activation quantization."""
     ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)

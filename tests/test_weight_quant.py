@@ -194,3 +194,35 @@ def test_w8a8_generation_all_cache_modes():
         out = Generator(eng, qp, dtype=jnp.bfloat16).generate(
             prompt, max_new_tokens=40)
         assert all(len(o) == 40 for o in out), mode
+
+
+def test_fused_projections_logits_exact():
+    """fuse_projections (wqkv / w_gateup) is a pure layout change: logits
+    must match the unfused params bit-for-bit in every weight format."""
+    params = init_params(MODEL, jax.random.PRNGKey(7), dtype=jnp.bfloat16)
+    toks = jnp.asarray(np.random.RandomState(0).randint(0, 512, (2, 64)))
+    for mk in [lambda p: p,
+               quant.quantize_params,
+               lambda p: quant.enable_act_quant(quant.quantize_params(p))]:
+        p = mk(params)
+        lf = lm_forward(MODEL, p, toks)
+        fused = quant.fuse_projections(p)
+        assert "wqkv" in fused["layers"] and "wq" not in fused["layers"]
+        lg = lm_forward(MODEL, fused, toks)
+        np.testing.assert_allclose(np.asarray(lg), np.asarray(lf),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_fused_projections_w4_generation():
+    params = init_params(MODEL, jax.random.PRNGKey(8), dtype=jnp.bfloat16)
+    qp = quant.fuse_projections(quant.quantize_params_w4(params))
+    assert qp["layers"]["wqkv"].dtype == jnp.int16
+    prompt = np.random.RandomState(3).randint(0, 512, size=(2, 300))
+    eng = EngineConfig(model=MODEL, cache_mode=CacheMode.COMPRESSED,
+                       prune=PruneConfig(method=PruneMethod.KT_MAG_VT_MAG,
+                                         k_sparsity=0.5, v_sparsity=0.5),
+                       max_seq_len=1024, prefill_bucket=256,
+                       chunk_size=256, codec="q8q4")
+    out = Generator(eng, qp, dtype=jnp.bfloat16).generate(
+        prompt, max_new_tokens=40)
+    assert all(len(o) == 40 for o in out)
