@@ -1,127 +1,88 @@
 """Weight-streaming microbench: W8 dequant-dot forms at the decode shape.
 
-The round-3 microbench (docs/PERFORMANCE.md) measured the weight-only-int8
-form ``(x @ w.astype(bf16)) * s`` at 158-167 us for [32,14336]x[14336,4096]
-— only ~370 GB/s of weight stream against the 712-745 GB/s the chip
-delivers on dense attention.  Since a full-8B decode step is ~97% weight
-traffic, that efficiency IS the headline throughput.  Candidates:
+Times x @ W at the Llama-3-8B w_down shape ([32, 14336] x [14336, 4096]):
 
-  bf16      x_bf16 @ w_bf16                      (2x bytes, the r1 baseline)
-  w8        (x @ w_i8.astype(bf16)) * s          (production weight-only)
-  w8a8      dot_general(x_i8, w_i8, s32) * sx*sw (native MXU int8 path -
-            no VPU widen of the weight stream at all; activations quantized
-            per-row on the fly; models/quant.py w8a8_dot)
-  w8a8_pre  same but activation quantization outside the timed region
-            (isolates the dot cost)
+  bf16   x_bf16 @ w_bf16                          (2x bytes, r1 baseline)
+  w8     (x @ w_i8.astype(bf16)) * s              (production weight-only)
+  w8a8   dot_general(x_i8, w_i8, s32) * sx * sw   (native MXU int8 path —
+         no VPU widen of the weight stream; per-token dynamic activation
+         quantization inside the timed region; models/quant.py w8a8_dot)
 
-Timing is DEVICE time from jax.profiler traces (parse_trace.py discipline):
-wall-clock chains through the dispatch tunnel are untrustworthy in both
-directions, and fori_loop chains with affine feedback get algebraically
-gutted by XLA ((x0 + c) @ W factors; a 160 us dot "measured" 0.3 us).
+Methodology: the round-2/3 device-side fori_loop dependency chain from
+bench_w4_matmul.py, VERBATIM — the chain feeds sum(y)*1e-30 back into the
+next input, n=300, wall-clock over the whole chain.  It reproduced
+consistent byte-ordered numbers across rounds (bf16 238-278 us, W8
+158-167) where both alternatives failed on this backend: jax.profiler
+"jit" event sums report physically impossible times for single dots
+(36.6 us bf16 = 3.2 TB/s weight stream, 10x HBM), and a max-consumer
+chain variant got algebraically factored to 0.3 us/dot.
 
-    python benchmarks/bench_w8_matmul.py [din] [dout] [batch] [iters]
+Run on the real chip: python benchmarks/bench_w8_matmul.py
 """
 
-import glob
-import gzip
 import json
-import shutil
 import sys
+import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
+from mustafar_tpu.models import quant
 
 
-def device_time(fn, args, iters, tag):
-    """Total device seconds per call from a jax.profiler trace."""
-    out = fn(*args)
-    jax.block_until_ready(out)
-    trace_dir = f"/tmp/w8mm_trace/{tag}"
-    shutil.rmtree(trace_dir, ignore_errors=True)
-    with jax.profiler.trace(trace_dir):
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-    files = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
-    with gzip.open(files[-1]) as fh:
-        events = json.load(fh)["traceEvents"]
-    pids = {e["pid"]: e["args"].get("name", "") for e in events
-            if e.get("ph") == "M" and e.get("name") == "process_name"}
-    total = sum(e["dur"] for e in events
-                if e.get("ph") == "X" and "dur" in e
-                and "TPU" in pids.get(e.get("pid"), "")
-                and e.get("name", "").startswith("jit"))
-    return total / iters / 1e6                                   # seconds
-
-
-def main(din=14336, dout=4096, B=32, iters=50):
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(B, din), jnp.bfloat16)
-    wf = rng.randn(din, dout).astype(np.float32) / np.sqrt(din)
-    w_bf16 = jnp.asarray(wf, jnp.bfloat16)
-    s = np.abs(wf).max(axis=0) / 127.0
-    w_i8 = jnp.asarray(np.clip(np.round(wf / s), -127, 127), jnp.int8)
-    s_bf16 = jnp.asarray(s, jnp.bfloat16)
+def main(din=14336, dout=4096, B=32, iters=300):
+    key = jax.random.PRNGKey(0)
 
     @jax.jit
-    def f_bf16(x, w):
-        return x @ w
+    def make(kk):
+        w = jax.random.normal(kk, (din, dout), jnp.float32) / 64.0
+        wb = w.astype(jnp.bfloat16)
+        q8, s8 = quant._quant_last(w)
+        return wb, q8, s8
 
-    @jax.jit
-    def f_w8(x, w, s):
-        return (x @ w.astype(x.dtype)) * s
+    wb, q8, s8 = jax.block_until_ready(make(key))
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, din), jnp.bfloat16)
 
-    def _act_quant(x):
-        ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-        sx = ax / 127.0
-        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127,
-                      127).astype(jnp.int8)
-        return xq, sx
+    def chain(fn, n=iters):
+        @jax.jit
+        def run(x):
+            def body(i, acc):
+                y = fn(acc)
+                return acc + y.sum(dtype=jnp.float32).astype(acc.dtype) * 1e-30
+            return jax.lax.fori_loop(0, n, body, x)
+        run(x).block_until_ready()          # compile
+        t0 = time.perf_counter()
+        run(x).block_until_ready()
+        return (time.perf_counter() - t0) / n * 1e6   # us/call
 
-    @jax.jit
-    def f_w8a8(x, w, s):
-        xq, sx = _act_quant(x)
-        acc = jax.lax.dot_general(xq, w, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.int32)
-        return (acc.astype(jnp.float32) * sx * s.astype(jnp.float32)
-                ).astype(x.dtype)
+    from mustafar_tpu.ops.kernels.w8_matmul import w8_matmul
 
-    xq0, sx0 = _act_quant(x)
-    xq0, sx0 = jax.block_until_ready((xq0, sx0))
+    def w8a8_kernel(h):
+        xq, sx = quant.act_quant(h)
+        return (w8_matmul(xq, q8, s8) * sx).astype(h.dtype)
 
-    @jax.jit
-    def f_w8a8_pre(xq, w, s, sx):
-        acc = jax.lax.dot_general(xq, w, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.int32)
-        return (acc.astype(jnp.float32) * sx * s.astype(jnp.float32)
-                ).astype(jnp.bfloat16)
+    res = {
+        "bf16_us": round(chain(lambda h: h @ wb), 1),
+        "w8_us": round(chain(
+            lambda h: (h @ q8.astype(h.dtype)) * s8.astype(h.dtype)), 1),
+        "w8a8_us": round(chain(lambda h: quant.w8a8_dot(h, q8, s8)), 1),
+        "w8_kernel_us": round(chain(
+            lambda h: w8_matmul(h, q8, s8).astype(h.dtype)), 1),
+        "w8a8_kernel_us": round(chain(w8a8_kernel), 1),
+    }
+    res["kernel_vs_w8"] = round(res["w8_us"] / res["w8a8_kernel_us"], 2)
+    res["w8a8_vs_w8"] = round(res["w8_us"] / res["w8a8_us"], 2)
+    gib = din * dout / 2**30
+    res["w8_gbps"] = round(gib / (res["w8_us"] / 1e6), 1)
+    res["w8a8_gbps"] = round(gib / (res["w8a8_us"] / 1e6), 1)
 
-    wb = {"bf16": w_bf16.nbytes, "w8": w_i8.nbytes, "w8a8": w_i8.nbytes,
-          "w8a8_pre": w_i8.nbytes}
-    results = {}
-    for name, fn, args in [
-        ("bf16", f_bf16, (x, w_bf16)),
-        ("w8", f_w8, (x, w_i8, s_bf16)),
-        ("w8a8", f_w8a8, (x, w_i8, s_bf16)),
-        ("w8a8_pre", f_w8a8_pre, (xq0, w_i8, s_bf16, sx0)),
-    ]:
-        try:
-            sec = device_time(fn, args, iters, name)
-            results[name] = sec * 1e6
-            print(f"{name:10s} {sec * 1e6:8.1f} us/dot   "
-                  f"{wb[name] / sec / 1e9:6.0f} GB/s weight stream",
-                  flush=True)
-        except Exception as e:  # noqa: BLE001
-            print(f"{name:10s} FAILED: {type(e).__name__}: {e}", flush=True)
-
-    # numeric sanity: w8a8 vs w8 reference on the same weights
-    y8 = f_w8(x, w_i8, s_bf16)
-    ya = f_w8a8(x, w_i8, s_bf16)
+    # numeric sanity on the same weights
+    y8 = (x @ q8.astype(x.dtype)) * s8.astype(x.dtype)
+    ya = quant.w8a8_dot(x, q8, s8)
     rel = float(jnp.linalg.norm((ya - y8).astype(jnp.float32))
                 / jnp.linalg.norm(y8.astype(jnp.float32)))
-    print(f"w8a8 vs w8 rel error: {rel:.4f}")
-    return results
+    res["w8a8_vs_w8_rel_err"] = round(rel, 4)
+    print(json.dumps(res))
 
 
 if __name__ == "__main__":
