@@ -269,8 +269,24 @@ LEGS = {"flagship": _leg_flagship, "w4": _leg_w4, "deep": _leg_deep,
         "bf16_16l": _leg_bf16_16l, "cap32k": _leg_cap32k}
 _LEG_SENTINEL = "BENCH_LEG_RESULT:"
 
+# Global wall-clock budget (round-4 lesson: the driver runs bench.py under
+# its own `timeout` — r4's run was killed at rc=124 having printed NOTHING,
+# losing the round's number.  Every leg timeout is now clipped to the time
+# remaining, and the headline JSON is printed+flushed the moment the
+# flagship leg returns; detail legs only spend what's left).
+_BUDGET_S = float(os.environ.get("MUSTAFAR_BENCH_BUDGET_S", "2400"))
+_T0 = time.monotonic()
 
-def _run_leg(name, detail, argv_shape, timeout=2700):
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.monotonic() - _T0)
+
+
+def _run_leg(name, detail, argv_shape, timeout=900):
+    timeout = min(timeout, _remaining() - 15)
+    if timeout < 60:
+        detail[f"leg_error_{name}"] = "skipped (budget exhausted)"
+        return False
     cmd = [sys.executable, os.path.abspath(__file__), "--leg", name,
            *argv_shape]
     try:
@@ -284,7 +300,7 @@ def _run_leg(name, detail, argv_shape, timeout=2700):
         detail[f"leg_error_{name}"] = (err[-1] if err else
                                        f"no result (rc={proc.returncode})")[:200]
     except subprocess.TimeoutExpired:
-        detail[f"leg_error_{name}"] = f"timeout after {timeout}s"
+        detail[f"leg_error_{name}"] = f"timeout after {timeout:.0f}s"
     except Exception as e:  # noqa: BLE001
         detail[f"leg_error_{name}"] = f"{type(e).__name__}: {e}"[:200]
     print(f"[bench] leg {name} failed: {detail[f'leg_error_{name}']}",
@@ -292,8 +308,27 @@ def _run_leg(name, detail, argv_shape, timeout=2700):
     return False
 
 
+def _headline(detail):
+    sparse_tps = detail.get("sparse_tok_s", 0.0)
+    dense_tps = detail.get("dense_tok_s", 0.0)
+    d = {k: v for k, v in detail.items() if k != "sparse_tok_s"}
+    return json.dumps({
+        "metric": "full8b_w8_sparse_decode_throughput",
+        "value": sparse_tps,
+        "unit": "tok/s",
+        "vs_baseline": round(sparse_tps / dense_tps, 3) if dense_tps else 0.0,
+        "detail": d,
+    })
+
+
 def main(batch=None, prompt_len=None, gen_tokens=None):
-    """Orchestrator: spawns one subprocess per leg; never touches the TPU."""
+    """Orchestrator: spawns one subprocess per leg; never touches the TPU.
+
+    Prints the headline JSON line IMMEDIATELY after the flagship leg (so a
+    driver-side timeout can no longer erase the round's number), then runs
+    detail legs with whatever budget remains and re-prints the enriched
+    headline as the final line.
+    """
     argv_shape = []
     if batch:
         argv_shape += ["--batch", str(batch)]
@@ -303,33 +338,28 @@ def main(batch=None, prompt_len=None, gen_tokens=None):
         argv_shape += ["--gen", str(gen_tokens)]
 
     detail = {"k_sparsity": 0.7, "v_sparsity": 0.7, "codec": "q8q4"}
-    ok = _run_leg("flagship", detail, argv_shape, timeout=3300)
-    if not ok:  # one retry — transient chip contention must not cost the round
+    ok = _run_leg("flagship", detail, argv_shape, timeout=1800)
+    if not ok and _remaining() > 600:
+        # one retry — transient chip contention must not cost the round
         detail.pop("leg_error_flagship", None)
-        ok = _run_leg("flagship", detail, argv_shape, timeout=3300)
+        ok = _run_leg("flagship", detail, argv_shape, timeout=1800)
     if not ok:
-        print(json.dumps({"metric": "full8b_w8_sparse_decode_throughput",
-                          "value": 0.0, "unit": "tok/s", "vs_baseline": 0.0,
-                          "detail": detail}))
+        print(_headline(detail), flush=True)
         sys.exit(1)
 
     on_tpu = detail.get("backend") == "tpu"
     detail.update({"batch": batch or (32 if on_tpu else 2),
                    "prompt": prompt_len or (300 if on_tpu else 64),
                    "gen": gen_tokens or (600 if on_tpu else 16)})
+    print(_headline(detail), flush=True)  # the round's number is now safe
+
     leg_names = ["w4", "bf16_16l", "deep", "cap32k"] if on_tpu \
         else ["w4", "bf16_16l"]
+    ran_detail = False
     for name in leg_names:
-        _run_leg(name, detail, argv_shape)
-
-    sparse_tps = detail.pop("sparse_tok_s")
-    print(json.dumps({
-        "metric": "full8b_w8_sparse_decode_throughput",
-        "value": sparse_tps,
-        "unit": "tok/s",
-        "vs_baseline": round(sparse_tps / detail["dense_tok_s"], 3),
-        "detail": detail,
-    }))
+        ran_detail |= _run_leg(name, detail, argv_shape)
+    if ran_detail or any(k.startswith("leg_error_") for k in detail):
+        print(_headline(detail), flush=True)
 
 
 if __name__ == "__main__":
