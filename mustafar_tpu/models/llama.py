@@ -81,6 +81,13 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict:
 
 _MLP_SEG = 512  # prefill MLP token-segment size (bounds the [B, T, I] temp)
 
+# Per-trace override of the segment size (ADVICE r4: sp_prefill used to
+# monkey-patch the module global, which would corrupt a concurrently traced
+# non-SP prefill in the same process).  A ContextVar scopes the override to
+# the calling trace/thread; None means "use _MLP_SEG".
+from contextvars import ContextVar
+_MLP_SEG_OVERRIDE: ContextVar = ContextVar("mustafar_mlp_seg", default=None)
+
 
 def _mlp(lp: dict, h: jnp.ndarray) -> jnp.ndarray:
     """SwiGLU MLP, token-segmented for long prefill.
@@ -91,6 +98,8 @@ def _mlp(lp: dict, h: jnp.ndarray) -> jnp.ndarray:
     """
     from mustafar_tpu.models.quant import proj
     B, T, H = h.shape
+    seg = _MLP_SEG_OVERRIDE.get()
+    _seg = _MLP_SEG if seg is None else seg
 
     if "w_gateup" in lp:            # fused layout (quant.fuse_projections)
         def gated(seg):
@@ -102,10 +111,10 @@ def _mlp(lp: dict, h: jnp.ndarray) -> jnp.ndarray:
             return proj(jax.nn.silu(proj(seg, lp, "w_gate"))
                         * proj(seg, lp, "w_up"), lp, "w_down")
 
-    if T <= _MLP_SEG or T % _MLP_SEG:
+    if T <= _seg or T % _seg:
         return gated(h)
-    n = T // _MLP_SEG
-    hs = jnp.swapaxes(h.reshape(B, n, _MLP_SEG, H), 0, 1)      # [n, B, seg, H]
+    n = T // _seg
+    hs = jnp.swapaxes(h.reshape(B, n, _seg, H), 0, 1)          # [n, B, seg, H]
     out = jax.lax.map(gated, hs)
     return jnp.swapaxes(out, 0, 1).reshape(B, T, H)
 

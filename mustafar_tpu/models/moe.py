@@ -43,12 +43,33 @@ def expert_capacity(n_tokens: int, num_experts: int, top_k: int,
     return max(8, -(-c // 8) * 8)
 
 
+# Token-group size for dispatch segmentation: the dispatch tensor is
+# [G, E, C] with C = ceil(G*K/E * factor), i.e. O(G^2) memory — unsegmented,
+# a realistic Mixtral prefill (B=8 x T=3584 -> N=28672, C=14336) needs a
+# ~13 GiB int32 dispatch and OOMs the chip.  Groups bound it to ~10 MB and
+# lax.map serializes groups exactly like llama._mlp's _MLP_SEG segmentation.
+# Capacity becomes per-group (GShard-style grouped dispatch): experts can
+# drop tokens in a hot group they could have absorbed globally — acceptable
+# and standard; decode (N <= G) is unchanged.
+_MOE_GROUP = 1024
+
+
 def moe_mlp(cfg: ModelConfig, lp: dict, x: jnp.ndarray) -> jnp.ndarray:
     """x [B, T, H] -> [B, T, H]; lp holds this layer's MoE leaves."""
     B, T, H = x.shape
-    E, K = cfg.num_experts, cfg.num_experts_per_tok
     N = B * T
     xf = x.reshape(N, H)
+    if N > _MOE_GROUP and N % _MOE_GROUP == 0:
+        groups = xf.reshape(N // _MOE_GROUP, _MOE_GROUP, H)
+        out = jax.lax.map(lambda g: _moe_group(cfg, lp, g), groups)
+        return out.reshape(B, T, H)
+    return _moe_group(cfg, lp, xf).reshape(B, T, H)
+
+
+def _moe_group(cfg: ModelConfig, lp: dict, xf: jnp.ndarray) -> jnp.ndarray:
+    """Route + dispatch + expert FFN + combine for one token group [N, H]."""
+    N, H = xf.shape
+    E, K = cfg.num_experts, cfg.num_experts_per_tok
     logits = (xf @ lp["w_router"].astype(xf.dtype)).astype(jnp.float32)
     g, idx = jax.lax.top_k(logits, K)                     # [N, K]
     g = jax.nn.softmax(g, axis=-1)                        # renorm over top-K
@@ -59,7 +80,7 @@ def moe_mlp(cfg: ModelConfig, lp: dict, x: jnp.ndarray) -> jnp.ndarray:
     pos = jnp.cumsum(sel, axis=0) - sel                   # rank within expert
     # [N, E, C]: slot one-hot; overflow (pos >= C) one-hots to zero
     disp = (sel[..., None] * jax.nn.one_hot(pos, C, dtype=jnp.int32))
-    dispf = disp.astype(x.dtype)
+    dispf = disp.astype(xf.dtype)
 
     def edot(v, name, spec):
         """Batched expert einsum, dequantizing W8 experts on the fly: the
@@ -90,7 +111,7 @@ def moe_mlp(cfg: ModelConfig, lp: dict, x: jnp.ndarray) -> jnp.ndarray:
     gne = jnp.einsum("nk,nke->ne", g, oh.astype(jnp.float32))   # gate per (n,e)
     comb = dispf.astype(jnp.float32) * gne[..., None]
     out = jnp.einsum("ech,nec->nh", ye.astype(jnp.float32), comb)
-    return out.reshape(B, T, H).astype(x.dtype)
+    return out.astype(xf.dtype)
 
 
 def init_moe_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict:

@@ -206,26 +206,24 @@ def sp_prefill(cfg, params, tokens, cache, cache_impl, true_len, mesh,
     # the token-segmented MLP exists to bound the [B, T, I] temp on ONE chip
     # (llama._MLP_SEG); under SP that temp is already split T/n ways, and the
     # reshape through (n_seg, seg) blocks GSPMD's T-sharding propagation
-    # (measured: one [B, T, H] all-gather per layer) — bypass it.
-    seg = llama._MLP_SEG
-    llama._MLP_SEG = 1 << 30
+    # (measured: one [B, T, H] all-gather per layer) — disable segmentation
+    # for THIS trace via the ContextVar (scoped: a concurrently traced non-SP
+    # prefill in another thread keeps its segmentation; ADVICE r4).
+    tok = llama._MLP_SEG_OVERRIDE.set(1 << 30)
     try:
         logits, pre = llama.prefill(cfg, params, tokens, pre, impl, true_len,
                                     last_only=last_only)
     finally:
-        llama._MLP_SEG = seg
-    # handoff: reshard the filled T rows to the caller's layout, splice in
-    dspecs = {k: _leaf_spec_like(cache[k]) for k in cache}
+        llama._MLP_SEG_OVERRIDE.reset(tok)
+    # handoff: reshard the filled T rows to the caller's decode layout —
+    # batch over the SP sequence axis, kv-heads over the head axis (the
+    # decode meaning of the same mesh axes; ADVICE r4: was hardcoded
+    # data/model, ignoring the seq_axis/head_axis arguments)
+    dspecs = {k: P(None, seq_axis, None, head_axis, None) for k in cache}
     pre = reshard_cache(pre, dspecs, mesh)
     cache = {k: jax.lax.dynamic_update_slice_in_dim(
         cache[k], pre[k].astype(cache[k].dtype), 0, axis=2) for k in cache}
     return logits, cache
-
-
-def _leaf_spec_like(leaf) -> P:
-    """Decode-layout spec of a dense/masked cache leaf [L, B, S, Hkv, D]
-    (parallel.sharding.cache_specs without needing the EngineConfig)."""
-    return P(None, "data", None, "model", None)
 
 
 def reshard_cache(cache, specs, mesh):

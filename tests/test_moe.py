@@ -59,6 +59,22 @@ def test_moe_block_matches_naive():
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
 
 
+def test_moe_group_segmentation_matches_unsegmented(monkeypatch):
+    """ADVICE r4: dispatch memory is O(G^2); long prefills run group-
+    segmented.  With capacity generous enough for zero drops the segmented
+    path must match the single-group path exactly."""
+    lp = jax.tree.map(lambda a: a[0],
+                      moe.init_moe_params(CFG, jax.random.PRNGKey(5),
+                                          dtype=jnp.float32))
+    x = jax.random.normal(jax.random.PRNGKey(6), (4, 64, CFG.hidden_size),
+                          jnp.float32)  # N=256
+    ref = jax.jit(lambda x: moe.moe_mlp(CFG, lp, x))(x)
+    monkeypatch.setattr(moe, "_MOE_GROUP", 64)  # forces 4 groups
+    got = jax.jit(lambda x: moe.moe_mlp(CFG, lp, x))(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_moe_capacity_drop_is_clean():
     """Overflowing tokens contribute zero (residual passes through): finite,
     and a huge-capacity run upper-bounds the dropped one's token usage."""
