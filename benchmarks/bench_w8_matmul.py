@@ -1,28 +1,29 @@
-"""Weight-streaming microbench: W8 dequant-dot forms at the decode shape.
+"""Weight-streaming microbench: W8 dot forms at the decode shape, DEVICE time.
 
 Times x @ W at the Llama-3-8B w_down shape ([32, 14336] x [14336, 4096]):
 
   bf16   x_bf16 @ w_bf16                          (2x bytes, r1 baseline)
   w8     (x @ w_i8.astype(bf16)) * s              (production weight-only)
-  w8a8   dot_general(x_i8, w_i8, s32) * sx * sw   (native MXU int8 path —
-         no VPU widen of the weight stream; per-token dynamic activation
-         quantization inside the timed region; models/quant.py w8a8_dot)
+  w8a8   dot_general(x_i8, w_i8, s32) * sx * sw   (native MXU int8 dot with
+         per-token dynamic activation quantization; models/quant.py w8a8_dot)
 
-Methodology: the round-2/3 device-side fori_loop dependency chain from
-bench_w4_matmul.py, VERBATIM — the chain feeds sum(y)*1e-30 back into the
-next input, n=300, wall-clock over the whole chain.  It reproduced
-consistent byte-ordered numbers across rounds (bf16 238-278 us, W8
-158-167) where both alternatives failed on this backend: jax.profiler
-"jit" event sums report physically impossible times for single dots
-(36.6 us bf16 = 3.2 TB/s weight stream, 10x HBM), and a max-consumer
-chain variant got algebraically factored to 0.3 us/dot.
+Methodology (round-5 CORRECTION): each variant runs in a 300-iteration
+device-side fori_loop chain, measured by jax.profiler.trace + per-op device
+sums (parse_trace).  The previous wall-clock-over-the-chain method carried
+~300-400 us/call of harness overhead (wall 451 us vs device 80 us for the
+SAME w8 program) and produced the false "W8 caps at ~370 GB/s" conclusion
+that motivated a Pallas W8 kernel; on device time the XLA weight-only form
+is already at the HBM roofline (80 us = 734 GB/s) and the kernel measured
+6-15% slower, so it was removed.  See docs/PERFORMANCE.md "Round 5".
 
 Run on the real chip: python benchmarks/bench_w8_matmul.py
 """
 
+import collections
+import glob
+import gzip
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -30,9 +31,27 @@ import jax.numpy as jnp
 from mustafar_tpu.models import quant
 
 
-def main(din=14336, dout=4096, B=32, iters=300):
-    key = jax.random.PRNGKey(0)
+def _device_us_per_call(trace_dir: str, iters: int) -> float:
+    """Sum per-op device time inside the while chain (parse_trace logic),
+    excluding the enclosing jit/while envelope events."""
+    files = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
+    assert files, f"no trace under {trace_dir}"
+    with gzip.open(files[-1]) as fh:
+        data = json.load(fh)
+    events = data["traceEvents"]
+    pids = {e["pid"]: e["args"].get("name", "") for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    durs = collections.defaultdict(float)
+    for e in events:
+        if (e.get("ph") == "X" and "dur" in e
+                and "TPU" in pids.get(e.get("pid"), "")):
+            name = e.get("name", "")
+            if not name.startswith("jit") and name != "while":
+                durs[name] += e["dur"]
+    return sum(durs.values()) / iters
 
+
+def main(din=14336, dout=4096, B=32, iters=300):
     @jax.jit
     def make(kk):
         w = jax.random.normal(kk, (din, dout), jnp.float32) / 64.0
@@ -40,37 +59,28 @@ def main(din=14336, dout=4096, B=32, iters=300):
         q8, s8 = quant._quant_last(w)
         return wb, q8, s8
 
-    wb, q8, s8 = jax.block_until_ready(make(key))
+    wb, q8, s8 = jax.block_until_ready(make(jax.random.PRNGKey(0)))
     x = jax.random.normal(jax.random.PRNGKey(1), (B, din), jnp.bfloat16)
 
-    def chain(fn, n=iters):
+    def device_us(fn, tag):
         @jax.jit
         def run(x):
             def body(i, acc):
                 y = fn(acc)
                 return acc + y.sum(dtype=jnp.float32).astype(acc.dtype) * 1e-30
-            return jax.lax.fori_loop(0, n, body, x)
+            return jax.lax.fori_loop(0, iters, body, x)
         run(x).block_until_ready()          # compile
-        t0 = time.perf_counter()
-        run(x).block_until_ready()
-        return (time.perf_counter() - t0) / n * 1e6   # us/call
-
-    from mustafar_tpu.ops.kernels.w8_matmul import w8_matmul
-
-    def w8a8_kernel(h):
-        xq, sx = quant.act_quant(h)
-        return (w8_matmul(xq, q8, s8) * sx).astype(h.dtype)
+        with jax.profiler.trace(f"/tmp/w8mb_{tag}"):
+            run(x).block_until_ready()
+        return _device_us_per_call(f"/tmp/w8mb_{tag}", iters)
 
     res = {
-        "bf16_us": round(chain(lambda h: h @ wb), 1),
-        "w8_us": round(chain(
-            lambda h: (h @ q8.astype(h.dtype)) * s8.astype(h.dtype)), 1),
-        "w8a8_us": round(chain(lambda h: quant.w8a8_dot(h, q8, s8)), 1),
-        "w8_kernel_us": round(chain(
-            lambda h: w8_matmul(h, q8, s8).astype(h.dtype)), 1),
-        "w8a8_kernel_us": round(chain(w8a8_kernel), 1),
+        "bf16_us": round(device_us(lambda h: h @ wb, "bf16"), 1),
+        "w8_us": round(device_us(
+            lambda h: (h @ q8.astype(h.dtype)) * s8.astype(h.dtype), "w8"), 1),
+        "w8a8_us": round(device_us(
+            lambda h: quant.w8a8_dot(h, q8, s8), "w8a8"), 1),
     }
-    res["kernel_vs_w8"] = round(res["w8_us"] / res["w8a8_kernel_us"], 2)
     res["w8a8_vs_w8"] = round(res["w8_us"] / res["w8a8_us"], 2)
     gib = din * dout / 2**30
     res["w8_gbps"] = round(gib / (res["w8_us"] / 1e6), 1)

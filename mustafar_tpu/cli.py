@@ -44,11 +44,17 @@ def _add_engine_args(p: argparse.ArgumentParser):
                         "(latency-optimal; q8q4 matches bitmap compression, "
                         "q4q4 = 4x bytes for high sparsity)")
     p.add_argument("--weights", default="bf16",
-                   choices=["bf16", "int8", "int4"],
-                   help="weight-only quantization (models/quant.py).  int8/"
-                        "int4 load + quantize ON HOST and transfer only the "
+                   choices=["bf16", "int8", "int8-a8", "int4"],
+                   help="weight quantization (models/quant.py).  int8/int4 "
+                        "load + quantize ON HOST and transfer only the "
                         "quantized pytree — the path that fits a full "
-                        "Llama-3-8B checkpoint onto one 16 GiB chip")
+                        "Llama-3-8B checkpoint onto one 16 GiB chip.  "
+                        "int8-a8 = int8 weights + dynamic int8 activations "
+                        "(native MXU int8 dots; latency-equal to int8 at "
+                        "the decode shape, see docs/PERFORMANCE.md r5)")
+    p.add_argument("--fuse_proj", action="store_true",
+                   help="fuse qkv and gate+up projections (single-chip "
+                        "serving layout; quant.fuse_projections)")
 
 
 def _build_engine(args, model_cfg):
@@ -83,20 +89,26 @@ def cmd_predict(args):
     from mustafar_tpu.runtime.generate import Generator
 
     weights = getattr(args, "weights", "bf16")
-    if weights in ("int8", "int4"):
+    if weights in ("int8", "int8-a8", "int4"):
         # stage bf16 on HOST, quantize there, ship only the quantized pytree
         # (a full 8B in bf16 does not fit the device next to its cache)
         import jax
-        from mustafar_tpu.models.quant import (quantize_params,
+        from mustafar_tpu.models.quant import (enable_act_quant,
+                                               quantize_params,
                                                quantize_params_w4)
         cfg, params = load_hf_dir(args.model, dtype=jnp.bfloat16, on_host=True)
         with jax.default_device(jax.devices("cpu")[0]):
             params = jax.block_until_ready(
-                quantize_params(params, donate=True) if weights == "int8"
-                else quantize_params_w4(params, donate=True))
+                quantize_params_w4(params, donate=True) if weights == "int4"
+                else quantize_params(params, donate=True))
         params = jax.device_put(params, jax.devices()[0])
+        if weights == "int8-a8":
+            params = enable_act_quant(params)
     else:
         cfg, params = load_hf_dir(args.model, dtype=jnp.bfloat16)
+    if getattr(args, "fuse_proj", False):
+        from mustafar_tpu.models.quant import fuse_projections
+        params = fuse_projections(params)
     tokenizer = AutoTokenizer.from_pretrained(args.model)
     eng = _build_engine(args, cfg)
     gen = Generator(eng, params)

@@ -165,14 +165,16 @@ def enable_act_quant(params: dict) -> dict:
 def fuse_projections(params: dict) -> dict:
     """Concatenate qkv and gate+up along the out-channel axis (single-chip).
 
-    Every decode-step dot on this backend carries a fixed ~85 us pipeline
-    overhead on top of its HBM bytes (benchmarks/bench_w8_matmul.py: the
-    58.7 MB W8 dot runs 163 us vs a 79 us bandwidth ideal, and the pure
-    bf16 dot shows the same absolute gap) — so 7 projections/layer cost
-    ~3 dots' worth of pure overhead.  Fusing wq/wk/wv -> wqkv and
-    w_gate/w_up -> w_gateup cuts 7 dots to 4.  Works on bf16, W8 (scales
-    concat along out-channel), W4 (int16 carriers and blocked scales both
-    carry out-channel last), and composes with enable_act_quant.
+    Fusing wq/wk/wv -> wqkv and w_gate/w_up -> w_gateup cuts 7 dots/layer
+    to 4.  Round-5 correction: the "~85 us fixed overhead per dot" that
+    originally motivated this was a wall-clock chain artifact — on DEVICE
+    time each dot carries only ~1-2 us of fixed cost beyond its HBM bytes
+    (docs/PERFORMANCE.md "Round 5"), so fusion saves ~5 us/layer-step
+    (~1% of the flagship step), not 3 dots' worth.  Kept because it is
+    correctness-tested, composes with every weight format, and the small
+    win is real.  Works on bf16, W8 (scales concat along out-channel), W4
+    (int16 carriers and blocked scales both carry out-channel last), and
+    composes with enable_act_quant.
 
     SINGLE-CHIP layout: under tensor parallelism the fused out-channel axis
     would straddle the head-aligned "model" shards (q|k|v boundaries are
@@ -211,12 +213,15 @@ def w8a8_dot(h: jnp.ndarray, w: jnp.ndarray, s: jnp.ndarray,
              out_dtype=None) -> jnp.ndarray:
     """int8 x int8 MXU dot with dynamic per-token activation scales.
 
-    The weight-only form widens the int8 weight stream to bf16 on the VPU
-    inside the dot, which caps it at ~370 GB/s (docs/PERFORMANCE.md W8
-    microbench) — half the chip's measured HBM rate.  Feeding the MXU int8
-    on BOTH sides removes the widen entirely: the weight bytes stream
-    straight into int8 MACs with an s32 accumulator, and the two scale
-    vectors (per-token sx, per-out-channel s) apply once after the dot.
+    Round-5 device-time adjudication (benchmarks/bench_w8_matmul.py,
+    docs/PERFORMANCE.md "Round 5"): at the w_down decode shape BOTH this
+    form and the weight-only form run at 80 us = 734 GB/s — the HBM
+    roofline.  (The earlier "weight-only caps at ~370 GB/s" claim was a
+    wall-clock chain artifact; XLA's fused widen rides the dot at full
+    bandwidth.)  W8A8 is therefore a latency WASH vs weight-only on this
+    chip; it remains available (enable_act_quant / --weights int8-a8) as
+    the int8-activation serving mode, with measured accuracy cost in
+    accuracy_w8a8/.
     """
     xq, sx = act_quant(h)
     acc = jax.lax.dot_general(xq, w, (((h.ndim - 1,), (0,)), ((), ())),

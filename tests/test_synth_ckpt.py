@@ -46,3 +46,22 @@ def test_synth_ckpt_predict_eval(tmp_path):
     cli.main(["eval", "--pred_dir", run])
     scores = json.load(open(os.path.join(run, "result.json")))
     assert "passkey" in scores            # random weights: score is chance
+
+
+def test_synth_ckpt_predict_int8a8_fused(tmp_path):
+    """The int8-a8 + fused-projection serving flags drive the same predict
+    path (host-staged quantization -> enable_act_quant -> fuse_projections)."""
+    out = str(tmp_path / "ckpt")
+    pred_root = str(tmp_path / "pred")
+    cli.main(["synth-ckpt", "--out", out, "--small", "--rows", "2",
+              "--ctx", "600"])
+    cli.main(["predict", "--model", out, "--datasets", "passkey",
+              "--data_dir", os.path.join(out, "rows"),
+              "--mode", "kt_mag_vt_mag", "--codec", "q8q4",
+              "--weights", "int8-a8", "--fuse_proj",
+              "--k_sparsity", "0.7", "--v_sparsity", "0.7",
+              "--max_length", "512", "--max_seq_len", "1024",
+              "--limit", "1", "--out_root", pred_root])
+    run = glob.glob(os.path.join(pred_root, "*"))[0]
+    preds = [json.loads(l) for l in open(os.path.join(run, "passkey.jsonl"))]
+    assert len(preds) == 1 and preds[0]["pred"]

@@ -228,26 +228,8 @@ def test_fused_projections_w4_generation():
     assert all(len(o) == 40 for o in out)
 
 
-def test_w8_kernel_matches_xla_paths():
-    """Pallas W8 matmul (interpret mode): the bf16-acts path matches the
-    weight-only XLA dot; the int8-acts path matches w8a8_dot exactly
-    (identical integer accumulation)."""
-    from mustafar_tpu.ops.kernels.w8_matmul import w8_matmul
-    w = jax.random.normal(jax.random.PRNGKey(10), (512, 384), jnp.float32) / 20
-    q, s = quant._quant_last(w)
-    x = jax.random.normal(jax.random.PRNGKey(11), (5, 500), jnp.bfloat16)
-    qc, xc = q[:500], x
-    ref = ((xc @ qc.astype(x.dtype)) * s.astype(x.dtype)).astype(jnp.float32)
-    got = w8_matmul(xc, qc, s, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=0,
-                               atol=0.02 * float(jnp.abs(ref).max()))
-    xq, sx = quant.act_quant(xc)
-    got_a = w8_matmul(xq, qc, s, interpret=True) * sx
-    ref_a = quant.w8a8_dot(xc, qc, s, out_dtype=jnp.float32)
-    np.testing.assert_allclose(np.asarray(got_a), np.asarray(ref_a),
-                               rtol=1e-5, atol=1e-5)
-    # layer-stacked scalar-prefetch indexing
-    qs, ss = jnp.stack([qc, -qc]), jnp.stack([s, s])
-    got_l1 = w8_matmul(xc, qs, ss, li=1, interpret=True)
-    np.testing.assert_allclose(np.asarray(got_l1), -np.asarray(got),
-                               rtol=1e-5, atol=1e-5)
+# (The round-4 Pallas W8 matmul kernel was removed in round 5: device-time
+# profiling showed the XLA weight-only W8 dot already runs at the HBM
+# roofline (80 us / 734 GB/s at the w_down decode shape) and the kernel was
+# 6-15% SLOWER — the "~370 GB/s cap" that motivated it was a wall-clock
+# chain artifact.  See docs/PERFORMANCE.md "Round 5: W8 adjudication".)
