@@ -157,9 +157,19 @@ def _barrier(name: str, timeout_ms: int):
     client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
 
 
+def _write_snapshot(path: str, payload: dict):
+    """Atomic request-state snapshot (the persistence half of recovery)."""
+    import os
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
 def run_timed_decode(dp: int, tp: int, program: str = "q8q4",
                      steps: int = 32, die_after: int | None = None,
-                     process_id: int = 0, barrier_ms: int = 15000):
+                     process_id: int = 0, barrier_ms: int = 15000,
+                     snapshot_path: str | None = None):
     """Timed multi-step sharded decode (the DIST_r04 measurement).
 
     Prefills once, then runs ``steps`` single-token decode steps on the
@@ -208,8 +218,22 @@ def run_timed_decode(dp: int, tp: int, program: str = "q8q4",
 
     failure_mode = die_after is not None
     step_ms, csum = [], 0.0
+    stream = [np.asarray(jax.device_get(tok))[:, 0].tolist()]  # prefill token
     result = {"program": program, "dp": dp, "tp": tp, "steps_requested": steps,
               "prefill_s_incl_compile": round(prefill_s, 3)}
+
+    def snap(i):
+        # request-state persistence: prompt identity is implicit (the
+        # deterministic _step_program seed); a real serving engine persists
+        # the prompt ids here too.  The KV cache is NOT persisted — recovery
+        # re-admits by prefill + replay (run_recovery), the recompute model
+        # preemption-tolerant engines use.
+        if snapshot_path and process_id == 0:
+            _write_snapshot(snapshot_path,
+                            {"program": program, "steps_done": i,
+                             "steps_requested": steps, "stream": stream})
+
+    snap(0)
     try:
         for i in range(steps):
             if failure_mode:
@@ -222,10 +246,13 @@ def run_timed_decode(dp: int, tp: int, program: str = "q8q4",
                 dec(params, tok, cache, jnp.int32(P_len + i)))
             step_ms.append((time.perf_counter() - t0) * 1e3)
             csum = float(s)
+            stream.append(np.asarray(jax.device_get(tok))[:, 0].tolist())
+            snap(i + 1)
     except Exception as e:                                # noqa: BLE001
         result["peer_loss_detected"] = True
         result["error_type"] = type(e).__name__
         result["error"] = str(e)[:400]
+    result["stream"] = stream
     arr = np.asarray(step_ms[1:] or step_ms)             # drop compile step
     result.update(
         steps_done=len(step_ms), decode_checksum=csum,
@@ -237,11 +264,104 @@ def run_timed_decode(dp: int, tp: int, program: str = "q8q4",
     return result
 
 
+def run_recovery(snapshot_path: str, dp: int, tp: int,
+                 total_steps: int | None = None):
+    """Resume serving from a request-state snapshot on a (smaller) mesh.
+
+    The TPU-pod failure model is fail-fast: when a process dies, the job
+    terminates (see leg_peer_death) and the world restarts with whatever
+    hosts remain.  The KV cache died with the old world, so recovery is
+    RE-ADMISSION: rebuild the engine on the new mesh, prefill the persisted
+    prompt, replay the already-emitted tokens (teacher-forced decode steps
+    — each replayed step's own prediction is asserted against the snapshot,
+    which is the recovered-request checksum), then continue decoding to the
+    original target.  Greedy decoding makes the result bit-identical to an
+    uninterrupted run; the caller verifies exactly that.
+
+    Returns the completed stream + timing breakdown (init/compile+prefill /
+    replay / continuation).
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mustafar_tpu.models import llama
+    from mustafar_tpu.parallel import sharding as sh
+
+    t_init0 = time.perf_counter()
+    with open(snapshot_path) as f:
+        snap = json.load(f)
+    program = snap["program"]
+    done = snap["steps_done"]
+    stream = [list(s) for s in snap["stream"]]
+    assert len(stream) == done + 1, (len(stream), done)
+    steps = total_steps if total_steps is not None else snap["steps_requested"]
+
+    cfg, eng, impl, params, tokens_np, cache, _ = _step_program(program)
+    mesh = sh.make_mesh(dp, tp)
+    params, tokens, cache = _shard_inputs(mesh, cfg, eng, impl, params,
+                                          tokens_np, cache)
+    P_len = tokens_np.shape[1]
+    rep = NamedSharding(mesh, P())
+
+    @jax.jit
+    def prefill(params, tokens, cache):
+        logits, cache = llama.prefill(cfg, params, tokens, cache, impl,
+                                      jnp.int32(P_len))
+        tok = jnp.argmax(logits[:, P_len - 1], -1).astype(jnp.int32)[:, None]
+        return jax.lax.with_sharding_constraint(tok, rep), cache
+
+    @jax.jit
+    def dec(params, tok, cache, pos):
+        logits, cache = llama.decode_step(cfg, params, tok, cache, impl, pos)
+        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+        return jax.lax.with_sharding_constraint(tok, rep), cache
+
+    tok, cache = jax.block_until_ready(prefill(params, tokens, cache))
+    got0 = np.asarray(jax.device_get(tok))[:, 0].tolist()
+    assert got0 == stream[0], ("prefill token mismatch on recovery",
+                               got0, stream[0])
+    t_prefill = time.perf_counter() - t_init0
+
+    # replay the emitted tokens, teacher-forcing from the snapshot and
+    # checking each replayed step reproduces the recorded next token
+    t0 = time.perf_counter()
+    replay_checked = 0
+    for i in range(done):
+        forced = jnp.asarray(np.asarray(stream[i], np.int32)[:, None])
+        forced = jax.device_put(forced, rep)
+        tok, cache = jax.block_until_ready(
+            dec(params, forced, cache, jnp.int32(P_len + i)))
+        got = np.asarray(jax.device_get(tok))[:, 0].tolist()
+        assert got == stream[i + 1], ("replay divergence at step", i,
+                                      got, stream[i + 1])
+        replay_checked += 1
+    t_replay = time.perf_counter() - t0
+
+    # continue to the original target
+    t0 = time.perf_counter()
+    for i in range(done, steps):
+        tok, cache = jax.block_until_ready(
+            dec(params, tok, cache, jnp.int32(P_len + i)))
+        stream.append(np.asarray(jax.device_get(tok))[:, 0].tolist())
+    t_cont = time.perf_counter() - t0
+
+    return {"program": program, "recovered_from_step": done,
+            "steps_total": steps, "dp": dp, "tp": tp,
+            "replay_steps_checked": replay_checked,
+            "prefill_s_incl_compile": round(t_prefill, 3),
+            "replay_s": round(t_replay, 3),
+            "continuation_s": round(t_cont, 3),
+            "stream": stream}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--coordinator", required=True)
-    ap.add_argument("--num-processes", type=int, required=True)
-    ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("--coordinator")
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--process-id", type=int, default=0)
     ap.add_argument("--dp", type=int, default=4)
     ap.add_argument("--tp", type=int, default=2)
     ap.add_argument("--program", default="masked",
@@ -259,11 +379,29 @@ def main(argv=None):
                          "a DEADLINE_EXCEEDED diagnostic (jax's C++ client "
                          "LOG(FATAL)s — not a catchable exception), never "
                          "a hang")
+    ap.add_argument("--snapshot", default=None,
+                    help="persist request state (emitted token streams) to "
+                         "this path every step (process 0)")
+    ap.add_argument("--recover-from", default=None,
+                    help="LOCAL recovery mode: resume from a snapshot on "
+                         "this process's devices alone (no coordinator) — "
+                         "the restart-the-world survivor")
+    ap.add_argument("--total-steps", type=int, default=None)
     ap.add_argument("--out", required=True)
     args = ap.parse_args(argv)
 
     import jax
     jax.config.update("jax_platforms", "cpu")   # axon ignores JAX_PLATFORMS
+    if args.recover_from:
+        res = run_recovery(args.recover_from, args.dp, args.tp,
+                           total_steps=args.total_steps)
+        with open(args.out, "w") as f:
+            json.dump(res, f)
+        print(f"recovered from step {res['recovered_from_step']}: "
+              f"replayed {res['replay_steps_checked']}, total "
+              f"{res['steps_total']} steps", flush=True)
+        return
+    assert args.coordinator, "--coordinator required outside recovery mode"
     if args.probe_init:
         # coordinator-loss surface: initialization against a dead address
         # must fail with a clean deadline error within --init-timeout
@@ -290,7 +428,8 @@ def main(argv=None):
     if args.steps:
         res = run_timed_decode(args.dp, args.tp, args.program,
                                steps=args.steps, die_after=args.die_after,
-                               process_id=args.process_id)
+                               process_id=args.process_id,
+                               snapshot_path=args.snapshot)
         res.update(process=args.process_id,
                    n_processes=jax.process_count(),
                    n_devices=len(jax.devices()),

@@ -66,3 +66,22 @@ def test_two_process_sharded_step_parity(tmp_path, program):
     np.testing.assert_allclose(r0["prefill_sum"], s1, rtol=2e-4)
     np.testing.assert_allclose(r0["decode_sum"], s2, rtol=2e-4)
     assert r0["tokens"] == tok.tolist()
+
+
+def test_recovery_from_snapshot_token_exact(tmp_path):
+    """Failure-recovery core (VERDICT r4 #4): a request-state snapshot from
+    an interrupted run re-admits on a DIFFERENT (smaller) mesh via prefill +
+    checked replay and completes to the exact tokens of an uninterrupted
+    run.  Runs in one process: the reference run (dp2 x tp2, 24 steps)
+    doubles as the snapshot source by truncating its stream to 6 steps."""
+    from mustafar_tpu.parallel import distributed as dist
+
+    ref = dist.run_timed_decode(2, 2, "q8q4", steps=24)
+    assert len(ref["stream"]) == 25
+    snap = tmp_path / "snapshot.json"
+    snap.write_text(json.dumps({"program": "q8q4", "steps_done": 6,
+                                "steps_requested": 24,
+                                "stream": ref["stream"][:7]}))
+    rec = dist.run_recovery(str(snap), dp=4, tp=2)   # recover on a WIDER mesh
+    assert rec["replay_steps_checked"] == 6
+    assert rec["stream"] == ref["stream"]
