@@ -145,7 +145,8 @@ def cmd_train_tiny(args):
     from mustafar_tpu.harness import tinylm
     tinylm.train(args.out, steps=args.steps, batch=args.batch, seq=args.seq,
                  lr=args.lr, seed=args.seed, hidden=args.hidden,
-                 layers=args.layers, window=args.window)
+                 layers=args.layers, window=args.window,
+                 rope_theta=args.rope_theta)
     print(f"checkpoint written to {args.out}")
 
 
@@ -212,6 +213,7 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--hidden", type=int, default=None)
     p.add_argument("--layers", type=int, default=None)
+    p.add_argument("--rope_theta", type=float, default=None)
     p.add_argument("--window", type=int, default=None,
                    help="sliding-window attention (Mistral semantics)")
     p.set_defaults(fn=cmd_train_tiny)

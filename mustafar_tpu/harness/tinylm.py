@@ -177,7 +177,7 @@ def make_training_batch(corpus: str, rng: np.random.RandomState,
 def train(out_dir: str, steps: int = 3000, batch: int = 8, seq: int = 2048,
           lr: float = 1e-3, seed: int = 0, inner: int = 25,
           hidden: int = None, layers: int = None, window: int = None,
-          log=print) -> dict:
+          rope_theta: float = None, log=print) -> dict:
     import optax
 
     from mustafar_tpu.models import llama
@@ -193,6 +193,12 @@ def train(out_dir: str, steps: int = 3000, batch: int = 8, seq: int = 2048,
             num_layers=layers or cfg.num_layers,
             name=f"tiny-acc-h{hidden or cfg.hidden_size}"
                  f"L{layers or cfg.num_layers}")
+    if seq * 2 > cfg.max_position_embeddings:
+        # 8k-context training (round 5): positions must cover the eval
+        # context (ctx + question + generation headroom)
+        cfg = dataclasses.replace(cfg, max_position_embeddings=2 * seq)
+    if rope_theta:
+        cfg = dataclasses.replace(cfg, rope_theta=float(rope_theta))
     if window:
         # Mistral-semantics model: sliding-window attention in training AND
         # inference (lm_forward and all cache impls honor cfg.sliding_window;
