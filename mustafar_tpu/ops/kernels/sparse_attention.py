@@ -123,27 +123,7 @@ def _expand_stream_rows(rows, fmt: ChunkFormat):
     return dense.astype(jnp.bfloat16) * bits
 
 
-def _lane_prefix_rank(bi, D: int):
-    """Inclusive prefix count along lanes, VPU-only: log2(D) rounds of
-    lane-roll + masked add on native i32 layout.
-
-    Round-5 variant of the MXU triangular-matmul rank (below): the round-2
-    bisection showed composing the matmul with the downstream i32 gather
-    arithmetic costs ~2 ms of f32->i32 casts and VPU<->MXU relayouts at 10k
-    ctx; this path never leaves the VPU or i32.  bi: [N, D] i32 in {0,1}.
-    """
-    lane = jax.lax.broadcasted_iota(jnp.int32, bi.shape, 1)
-    x = bi
-    s = 1
-    while s < D:
-        r = pltpu.roll(x, s, axis=1)
-        x = x + jnp.where(lane >= s, r, 0)
-        s *= 2
-    return x
-
-
-def _expand_stream_rows_batched(buf_slot, fmt: ChunkFormat, hpb: int, row_off: int,
-                                rank_mode: str = "mxu"):
+def _expand_stream_rows_batched(buf_slot, fmt: ChunkFormat, hpb: int, row_off: int):
     """buf_slot [hpb, ROWS, 128] int16 -> dense bf16 [hpb*C, D] (stacked)."""
     C, D = fmt.chunk, fmt.dim
     SR = fmt.stream_rows
@@ -170,17 +150,17 @@ def _expand_stream_rows_batched(buf_slot, fmt: ChunkFormat, hpb: int, row_off: i
     HC = hpb * C
     trow = jax.lax.broadcasted_iota(jnp.int32, (HC, D), 0) % C        # token idx
     bitsel = jnp.int32(1) << (trow // fmt.bmp16_rows)
-    if rank_mode == "vpu":
-        bi = ((tiled & bitsel) != 0).astype(jnp.int32)
-        bits = bi.astype(jnp.bfloat16)
-        rank_i = _lane_prefix_rank(bi, D)
-    else:
-        bits = ((tiled & bitsel) != 0).astype(jnp.bfloat16)
-        tri = (jax.lax.broadcasted_iota(jnp.int32, (D, D), 0) <=
-               jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)).astype(jnp.bfloat16)
-        rank = jax.lax.dot_general(bits, tri, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        rank_i = rank.astype(jnp.int32)
+    # rank via MXU triangular matmul.  A VPU-only lane-roll prefix sum
+    # (round-5 A/B, benchmarks/bench_rank_mode.py) measured 2.2-2.4x SLOWER
+    # at every depth: per-step lane rotations through the crossbar cost more
+    # than the matmul + relayouts they replace.  See docs/PERFORMANCE.md
+    # "Round 5: bitmap expansion".
+    bits = ((tiled & bitsel) != 0).astype(jnp.bfloat16)
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (D, D), 0) <=
+           jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)).astype(jnp.bfloat16)
+    rank = jax.lax.dot_general(bits, tri, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    rank_i = rank.astype(jnp.int32)
     gs, bounds = [], []
     base = 1
     for k in fmt.segs:
@@ -264,7 +244,7 @@ def _fused_v6ps_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, q_ref, *refs,
                        kfmt: ChunkFormat, vfmt: ChunkFormat, hpb: int,
                        hkv: int, nslots: int, NW: int, wt: int, gsize: int,
                        scale: float, window: int | None = None,
-                       want_probs: bool = False, rank_mode: str = "mxu"):
+                       want_probs: bool = False):
     quant = kfmt.qbits == 8
     refs = list(refs)
     if quant:
@@ -373,8 +353,8 @@ def _fused_v6ps_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, q_ref, *refs,
             wcopy(0, 0, 1).start()
 
         copy(slot, ci).wait()
-        kd = _expand_stream_rows_batched(buf[slot], kfmt, hpb, 0, rank_mode)
-        vd = _expand_stream_rows_batched(buf[slot], vfmt, hpb, KR, rank_mode)
+        kd = _expand_stream_rows_batched(buf[slot], kfmt, hpb, 0)
+        vd = _expand_stream_rows_batched(buf[slot], vfmt, hpb, KR)
         if quant:
             qk = (q_all.astype(jnp.float32)
                   * _bcast_heads(ks_ref[0, ci], hpb, G8)).astype(jnp.bfloat16)
@@ -440,8 +420,7 @@ def fused_sparse_decode_attention_v6ps(q, kv_pool, k_win, v_win, n_chunks,
                                        li=None, hpb: int = 16, wt: int = 96,
                                        window: int | None = None,
                                        return_win_probs: bool = False,
-                                       kscales=None, vscales=None,
-                                       rank_mode: str = "mxu"):
+                                       kscales=None, vscales=None):
     """Per-slot fused decode: n_chunks [B], win_len [B] vectors (continuous
     batching), pools AND the dense residual window both consumed in-kernel
     (per-head window trip counts — short slots' dead window bytes are never
@@ -547,7 +526,7 @@ def fused_sparse_decode_attention_v6ps(q, kv_pool, k_win, v_win, n_chunks,
         functools.partial(_fused_v6ps_kernel, kfmt=kfmt, vfmt=vfmt, hpb=hpb,
                           hkv=Hkv, nslots=B, NW=NW, wt=wt, gsize=G,
                           scale=float(1.0 / np.sqrt(D)), window=window,
-                          want_probs=return_win_probs, rank_mode=rank_mode),
+                          want_probs=return_win_probs),
         grid_spec=grid_spec,
         out_shape=tuple(out_shape),
         interpret=_interpret(),
@@ -769,8 +748,7 @@ def fused_sparse_segment_attention(q_seg, kv_pool, n_chunks, seg_start,
 def _fused_v7_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, q_ref, *refs,
                      kfmt: ChunkFormat, vfmt: ChunkFormat,
                      hpb: int, NW: int, wt: int, gsize: int, scale: float,
-                     window: int | None = None, want_probs: bool = False,
-                     rank_mode: str = "mxu"):
+                     window: int | None = None, want_probs: bool = False):
     # bitmap-q8 capacity codec: per-(chunk, head, channel) scales fold into
     # q before the score matmul and into the pv partial after it (the
     # expanded tiles stay int8 CODES; dequant never materializes)
@@ -858,8 +836,8 @@ def _fused_v7_kernel(scalars_ref, pool_hbm, kw_hbm, vw_hbm, q_ref, *refs,
             wcopy(0, 0, 1).start()
 
         copy(slot, ci).wait()
-        kd = _expand_stream_rows_batched(buf[slot], kfmt, hpb, 0, rank_mode)
-        vd = _expand_stream_rows_batched(buf[slot], vfmt, hpb, KR, rank_mode)
+        kd = _expand_stream_rows_batched(buf[slot], kfmt, hpb, 0)
+        vd = _expand_stream_rows_batched(buf[slot], vfmt, hpb, KR)
         if quant:
             qk = (q_all.astype(jnp.float32)
                   * _bcast_heads(ks_ref[0, ci], hpb, G8)).astype(jnp.bfloat16)
@@ -922,8 +900,7 @@ def fused_sparse_decode_attention_v7(q, kv_pool, k_win, v_win, n_chunks,
                                      window: int | None = None,
                                      wt: int = 96, return_norm: bool = False,
                                      return_win_probs: bool = False,
-                                     kscales=None, vscales=None,
-                                     rank_mode: str = "mxu"):
+                                     kscales=None, vscales=None):
     """v7: fully in-kernel uniform-batch decode attention with dynamic window
     length.
 
@@ -1025,8 +1002,7 @@ def fused_sparse_decode_attention_v7(q, kv_pool, k_win, v_win, n_chunks,
         functools.partial(_fused_v7_kernel, kfmt=kfmt, vfmt=vfmt, hpb=hpb,
                           NW=NW, wt=wt, gsize=G,
                           scale=float(1.0 / np.sqrt(D)),
-                          window=window, want_probs=return_win_probs,
-                          rank_mode=rank_mode),
+                          window=window, want_probs=return_win_probs),
         grid_spec=grid_spec,
         out_shape=tuple(out_shape),
         interpret=_interpret(),

@@ -263,36 +263,3 @@ def test_v7_bitmap_q8_matches_dequant_reference():
     wts = np.asarray(jax.nn.softmax(jnp.asarray(lg), -1))
     want = np.einsum("bhgs,bhsd->bhgd", wts, vv).reshape(B, 1, Hq, D)
     np.testing.assert_allclose(out, want, atol=4e-2 * np.abs(want).max())
-
-
-def test_rank_mode_vpu_bitwise_matches_mxu():
-    """The VPU lane-roll prefix rank (round 5) must reproduce the MXU
-    triangular-matmul rank BITWISE in both production kernels — the rank is
-    an integer index; any difference is a wrong gather."""
-    rs = np.random.RandomState(33)
-    B, Hkv, G, mc = 2, 2, 4, 3
-    BH = B * Hkv
-    C, D = FMT.chunk, FMT.dim
-    W = 288
-    k_pruned, *_ = make_case(rs, B, Hkv, G, mc, mc, W, 0)
-    v_pruned, *_ = make_case(rs, B, Hkv, G, mc, mc, W, 0)
-    kp = jnp.asarray(k_pruned.reshape(BH, mc, C, D), jnp.bfloat16)
-    vp = jnp.asarray(v_pruned.reshape(BH, mc, C, D), jnp.bfloat16)
-    pool = jnp.swapaxes(jnp.concatenate(
-        [sf.encode_stream(kp, FMT), sf.encode_stream(vp, FMT)], axis=-2), 0, 1)
-    q = jnp.asarray(rs.randn(B, 1, Hkv * G, D), jnp.bfloat16)
-    k_win = jnp.asarray(rs.randn(B, Hkv, W, D), jnp.bfloat16)
-    v_win = jnp.asarray(rs.randn(B, Hkv, W, D), jnp.bfloat16)
-
-    a7 = (q, pool, k_win, v_win, jnp.int32(mc), jnp.int32(120), FMT, FMT, mc)
-    np.testing.assert_array_equal(
-        np.asarray(ska.fused_sparse_decode_attention_v7(*a7)),
-        np.asarray(ska.fused_sparse_decode_attention_v7(*a7, rank_mode="vpu")))
-
-    ncs = jnp.asarray([2, 3], jnp.int32)
-    wls = jnp.asarray([40, 120], jnp.int32)
-    a6 = (q, pool, k_win, v_win, ncs, wls, FMT, FMT, mc)
-    np.testing.assert_array_equal(
-        np.asarray(ska.fused_sparse_decode_attention_v6ps(*a6)),
-        np.asarray(ska.fused_sparse_decode_attention_v6ps(*a6,
-                                                          rank_mode="vpu")))
