@@ -217,7 +217,8 @@ def train(out_dir: str, steps: int = 3000, batch: int = 8, seq: int = 2048,
     opt_state = opt.init(params)
 
     def loss_fn(params, toks, wts):
-        logits = llama.lm_forward(cfg, params, toks)
+        # remat: 8k x h768 x L12 training OOMs (29 GiB) without it
+        logits = llama.lm_forward(cfg, params, toks, remat=True)
         ls = optax.softmax_cross_entropy_with_integer_labels(
             logits[:, :-1], toks[:, 1:])
         w = wts[:, 1:]

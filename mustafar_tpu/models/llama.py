@@ -304,12 +304,18 @@ def _lm_head(cfg: ModelConfig, params: dict, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def lm_forward(cfg: ModelConfig, params: dict, tokens: jnp.ndarray,
-               true_len=None) -> jnp.ndarray:
+               true_len=None, remat: bool = False) -> jnp.ndarray:
     """Cache-free causal LM forward: tokens [B, T] -> fp32 logits [B, T, V].
 
     The training / teacher-forced-scoring entry point (the reference has no
     training path; this exists so accuracy evidence can be produced on real
     learned weights — see harness/tinylm.py).  Differentiable end to end.
+
+    ``remat``: rematerialize each layer on the backward pass (jax.checkpoint
+    over the layer scan body) — residency drops from every intermediate of
+    every layer to one [B, T, H] residual per layer boundary, the standard
+    TPU memory/FLOPs trade.  8k-context training of the h768/L12 accuracy
+    model needs 29 GiB without it and fits a 16 GiB chip with it.
     """
     from mustafar_tpu.models.quant import embed_lookup
     B, T = tokens.shape
@@ -326,7 +332,8 @@ def lm_forward(cfg: ModelConfig, params: dict, tokens: jnp.ndarray,
         x, _ = _layer(cfg, lp, x, cos, sin, attend, None)
         return x, None
 
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    x, _ = jax.lax.scan(jax.checkpoint(body) if remat else body,
+                        x, params["layers"])
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     return _lm_head(cfg, params, x)
 
