@@ -176,7 +176,11 @@ def _leg_w4(ctx):
 def _leg_deep(ctx):
     """Deep-context leg (VERDICT r3 weak #4): the reference's 300+600 shape
     is weight-bound and hides where sparsity pays; at B=8 x 4k the attention
-    stream dominates and the sparse advantage is visible end-to-end."""
+    stream is a first-class cost.  End-to-end tok/s dilutes the decode
+    contrast with ~4-5 s of (engine-independent) B8 x 3.6k prefill charged
+    to only 512 steps, so the leg also reports a two-point DECODE-ONLY rate:
+    gen=512 minus gen=1 wall time cancels prefill + fixed dispatch exactly
+    (both runs share the prompt, engine, and compiled prefill path)."""
     from mustafar_tpu.models.quant import init_params_w8
 
     cfg = ctx["cfg_full"]
@@ -186,12 +190,19 @@ def _leg_deep(ctx):
     pd = np.random.RandomState(1).randint(1, cfg.vocab_size,
                                           (deep_B, deep_prompt))
     w8d = jax.block_until_ready(init_params_w8(cfg, jax.random.PRNGKey(0)))
-    sd_tps, _, _ = build(sparse_d, w8d, jnp.bfloat16, pd, deep_gen, reps=2)
-    dd_tps, _, _ = build(dense_d, w8d, jnp.bfloat16, pd, deep_gen, reps=2)
-    return {"deep_shape": f"B{deep_B} x {deep_prompt}+{deep_gen}",
-            "deep_sparse_tok_s": round(sd_tps, 1),
-            "deep_dense_tok_s": round(dd_tps, 1),
-            "deep_vs_dense": round(sd_tps / dd_tps, 3)}
+    out = {"deep_shape": f"B{deep_B} x {deep_prompt}+{deep_gen}"}
+    dec = {}
+    for name, eng in (("sparse", sparse_d), ("dense", dense_d)):
+        tps, dt_full, _ = build(eng, w8d, jnp.bfloat16, pd, deep_gen, reps=2)
+        _, dt_pref, _ = build(eng, w8d, jnp.bfloat16, pd, 1, reps=2)
+        dec[name] = deep_B * (deep_gen - 1) / max(dt_full - dt_pref, 1e-6)
+        out[f"deep_{name}_tok_s"] = round(tps, 1)
+        out[f"deep_{name}_decode_tok_s"] = round(dec[name], 1)
+        out[f"deep_{name}_prefill_s"] = round(dt_pref, 2)
+    out["deep_vs_dense"] = round(out["deep_sparse_tok_s"]
+                                 / out["deep_dense_tok_s"], 3)
+    out["deep_decode_vs_dense"] = round(dec["sparse"] / dec["dense"], 3)
+    return out
 
 
 def _leg_bf16_16l(ctx):

@@ -86,8 +86,13 @@ def main(engine_kind="sparse", layers=16, gen=64, weights="bf16", B=32,
     logits, cache = jax.block_until_ready(prefill_fn(params, toks, tl))
     out, _ = jax.block_until_ready(dec_fn(params, cache, logits, tl))  # compile
     logits, cache = jax.block_until_ready(prefill_fn(params, toks, tl))
+    np.asarray(logits)       # drain the tunnel's dispatch queue before t0
     t0 = time.perf_counter()
-    out, _ = jax.block_until_ready(dec_fn(params, cache, logits, tl))
+    out, _ = dec_fn(params, cache, logits, tl)
+    # block_until_ready returns at ENQUEUE on the tunneled axon backend
+    # (measured: 64 full-8B steps "in 0.000 s"); a host transfer is the
+    # only sync that really waits for the device
+    np.asarray(out)
     dt = time.perf_counter() - t0
     logits, cache = jax.block_until_ready(prefill_fn(params, toks, tl))
     print(f"decode warm wall: {dt:.3f} s for {gen} steps "
